@@ -1,0 +1,66 @@
+"""NLSE time steppers: SS2 Strang splitting, sEWI, and the comparison Gautschi.
+
+All steppers are pure functions of (state, operator closures); a full
+trajectory is one `lax.scan` (see models/evolve.py). tau = i*dt throughout,
+matching the reference drivers ("important to propagate this in complex time",
+nlse_cubic_solver.hpp:58-59).
+
+Parity map:
+  ss2_step      <-> NLSESolver::step (nlse_cubic_solver.hpp:54-74) and the
+                    device path NLSESolverDevice::step (nlse_dev.hpp:187-203)
+  sewi_step     <-> NLSESolverDevice::step_sewi (nlse_dev.hpp:205-238):
+                    u' = exp(2 tau L) u_prev - 2 tau exp(tau L) sinc(dt L) B(u)
+  gautschi_step <-> NLSECubicGautschiSolver::step
+                    (nlse_cubic_gautschi_solver.hpp:17-40; flagged there as
+                    "has issues ... for comparison, not data generation"):
+                    u' = exp(-2 tau L) u_prev + 2 tau exp(-tau L) sinc(dt L) B(u)
+"""
+
+import jax.numpy as jnp
+
+from nlsolvers_tpu.ops.krylov import expm_apply, matfunc_apply
+from nlsolvers_tpu.config import default_krylov_m
+
+__all__ = ["ss2_step", "sewi_step", "gautschi_step", "sewi_first_step"]
+
+
+def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+    """One SS2 Strang step: half nonlinear phase, full linear expm, half phase."""
+    tau = jnp.asarray(1j * dt, u.dtype)
+    u = jnp.exp(0.5 * tau * rho_fn(u)) * u
+    u = expm_apply(lap, u, tau, m=m, reorth=reorth)
+    u = jnp.exp(0.5 * tau * rho_fn(u)) * u
+    return u
+
+
+def _B(u, rho_fn):
+    """sEWI source term B(u) = -rho(u) u (nlse.cuh:71-84)."""
+    return -rho_fn(u) * u
+
+
+def sewi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+    """One sEWI (exponential wave integrator) step; returns (u_new, u).
+
+    Device semantics (nlse_dev.hpp:205-238):
+      psi   = sinc(dt L) B(u)        (real time in the sinc)
+      u_new = exp(2 i dt L) u_prev - 2 (i dt) exp(i dt L) psi
+    """
+    tau = jnp.asarray(1j * dt, u.dtype)
+    psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth)
+    e1 = expm_apply(lap, psi, tau, m=m, reorth=reorth)
+    e2 = expm_apply(lap, u_prev, 2.0 * tau, m=m, reorth=reorth)
+    return e2 - 2.0 * tau * e1, u
+
+
+def sewi_first_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+    """sEWI bootstrap: u_prev := u, then one SS2 step (nlse_dev.hpp:206-209)."""
+    return ss2_step(u, lap, rho_fn, dt, m=m, reorth=reorth), u
+
+
+def gautschi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+    """Host comparison 'Gautschi' NLSE step; returns (u_new, u)."""
+    tau = jnp.asarray(1j * dt, u.dtype)
+    psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth)
+    e1 = expm_apply(lap, psi, -tau, m=m, reorth=reorth)
+    e2 = expm_apply(lap, u_prev, -2.0 * tau, m=m, reorth=reorth)
+    return e2 + 2.0 * tau * e1, u
