@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: 2D cubic NLSE time-steps/sec/chip at 1024^2, Lanczos m=10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md). `vs_baseline` is
+therefore measured against the reference's implied production operating point:
+its 2D sweep budget is 30 runs of (200^2 grid, nt=2000 steps) per 15-minute
+SLURM task on one GPU (finalized_scripts/nlse_2d_launch.sh:5,47-50,66), i.e.
+~66.7 steps/s at 200^2; scaled by grid area to 1024^2 that is ~2.54 steps/s.
+This proxy is documented, not measured from the reference binaries.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N = 1024
+KRYLOV_M = 10
+LX = 10.0
+DT = 1e-4
+CHUNK = 100         # steps per timed jit call (amortizes the D2H readback)
+REPEATS = 4
+
+BASELINE_STEPS_PER_SEC = 30 * 2000 / (15 * 60) * (200 / N) ** 2
+
+
+def main():
+    from nlsolvers_tpu.models import problems
+    from nlsolvers_tpu.utils.complexio import pack_complex, unpack_complex
+
+    dev = jax.devices()[0]
+    x = np.linspace(-LX, LX, N, dtype=np.float32)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    env = np.exp(-(X**2 + Y**2) / 4).astype(np.float32)
+    # complex IC exchanged as a stacked (real, imag) pair — this backend cannot
+    # transfer complex arrays host<->device (see utils/complexio.py)
+    u0_packed = np.stack([env * np.cos(0.5 * X), env * np.sin(0.5 * X)])
+    m_field = np.ones((N, N), np.float32)
+
+    prob = problems.nlse_problem(
+        "cubic", (N, N), LX, DT, m_field=m_field, krylov_m=KRYLOV_M,
+        dtype=jnp.complex64)
+
+    def chunk(u_packed):
+        u = unpack_complex(u_packed)
+
+        def body(i, s):
+            return prob.step(s, i + 1)
+
+        u = jax.lax.fori_loop(0, CHUNK, body, u)
+        return pack_complex(u)
+
+    chunk_j = jax.jit(chunk)
+    u = jax.device_put(jnp.asarray(u0_packed), dev)
+
+    # Warm-up / compile. NOTE: on the axon backend block_until_ready returns
+    # immediately, so every timing below forces a device->host materialization
+    # (np.asarray) to measure completed work.
+    t0 = time.time()
+    u = chunk_j(u)
+    _ = np.asarray(u)
+    compile_and_first = time.time() - t0
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        u = chunk_j(u)
+        host = np.asarray(u)
+        times.append(time.time() - t0)
+
+    best = min(times)
+    steps_per_sec = CHUNK / best
+    assert np.all(np.isfinite(host)), "non-finite state after benchmark"
+
+    print(json.dumps({
+        "metric": f"nlse2d_cubic_{N}x{N}_m{KRYLOV_M}_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 3),
+        "unit": "time-steps/s/chip",
+        "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

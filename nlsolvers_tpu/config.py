@@ -21,5 +21,11 @@ default_krylov_m = 10
 
 
 def real_dtype_of(dtype):
-    """Real dtype matching a possibly-complex dtype."""
-    return jnp.zeros((), dtype).real.dtype
+    """Real dtype matching a possibly-complex dtype.
+
+    Pure-numpy on purpose: creating even a scalar complex device array fails
+    on the axon TPU backend (complex host<->device transfer is UNIMPLEMENTED,
+    see utils/complexio.py).
+    """
+    import numpy as np
+    return np.empty((), dtype).real.dtype

@@ -17,6 +17,7 @@ Parity map:
 """
 
 import jax.numpy as jnp
+import numpy as np
 
 from nlsolvers_tpu.ops.krylov import expm_apply, matfunc_apply
 from nlsolvers_tpu.config import default_krylov_m
@@ -26,7 +27,7 @@ __all__ = ["ss2_step", "sewi_step", "gautschi_step", "sewi_first_step"]
 
 def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
     """One SS2 Strang step: half nonlinear phase, full linear expm, half phase."""
-    tau = jnp.asarray(1j * dt, u.dtype)
+    tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
     u = jnp.exp(0.5 * tau * rho_fn(u)) * u
     u = expm_apply(lap, u, tau, m=m, reorth=reorth)
     u = jnp.exp(0.5 * tau * rho_fn(u)) * u
@@ -45,7 +46,7 @@ def sewi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
       psi   = sinc(dt L) B(u)        (real time in the sinc)
       u_new = exp(2 i dt L) u_prev - 2 (i dt) exp(i dt L) psi
     """
-    tau = jnp.asarray(1j * dt, u.dtype)
+    tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
     psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth)
     e1 = expm_apply(lap, psi, tau, m=m, reorth=reorth)
     e2 = expm_apply(lap, u_prev, 2.0 * tau, m=m, reorth=reorth)
@@ -59,7 +60,7 @@ def sewi_first_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
 
 def gautschi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
     """Host comparison 'Gautschi' NLSE step; returns (u_new, u)."""
-    tau = jnp.asarray(1j * dt, u.dtype)
+    tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
     psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth)
     e1 = expm_apply(lap, psi, -tau, m=m, reorth=reorth)
     e2 = expm_apply(lap, u_prev, -2.0 * tau, m=m, reorth=reorth)

@@ -18,6 +18,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nlsolvers_tpu.config import (default_complex_dtype, default_krylov_m,
@@ -99,8 +100,8 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
         krylov_m = {"cubic": 20, "cubic_quintic": 15,
                     "saturable": 15}[kind] if dim == 2 else 10
     if m_field is None:
-        m_field = jnp.zeros(shape, rdtype)
-    m_field = jnp.asarray(m_field, rdtype)
+        m_field = np.zeros(shape, rdtype)
+    m_field = np.asarray(m_field, rdtype)
 
     lap = _nlse_operator(shape, dx, dx, c_field, variant, rdtype)
     rho = nlse_density(kind, m_field, sigma1=sigma1, sigma2=sigma2, kappa=kappa)
@@ -168,8 +169,8 @@ def realwave_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
     nx = shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     if m_field is None:
-        m_field = jnp.ones(shape, rdtype)
-    m_field = jnp.asarray(m_field, rdtype)
+        m_field = np.ones(shape, rdtype)
+    m_field = np.asarray(m_field, rdtype)
     g = realwave_g(kind)
 
     lap = _nlse_operator(shape, dx, dx, c_field, variant, rdtype)
@@ -227,8 +228,8 @@ def stochastic_phi4_problem(shape, Lx, dt, *, m_field=None,
     nx = shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     if m_field is None:
-        m_field = jnp.ones(shape, rdtype)
-    m_field = jnp.asarray(m_field, rdtype)
+        m_field = np.ones(shape, rdtype)
+    m_field = np.asarray(m_field, rdtype)
     lap = _nlse_operator(shape, dx, dx, None, variant, rdtype)
     neumann = _neumann(shape) if apply_bc else (lambda u: u)
     base_key = jax.random.PRNGKey(seed)

@@ -38,6 +38,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nlsolvers_tpu.config import default_krylov_m, real_dtype_of
@@ -141,7 +142,7 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True):
     V, alpha, beta, beta0 = lanczos(matvec, u, m, reorth=reorth)
     lam, Q = tridiag_eigh(alpha, beta)
     f = MATFUNCS[func] if isinstance(func, str) else func
-    fvals = f(jnp.asarray(t), lam)
+    fvals = f(np.asarray(t), lam)   # numpy scalar: safe jit constant
     # y = beta0 * V (Q f(D) Q^T e1); Q^T e1 is Q's first row.
     coef = beta0 * (Q @ (fvals * Q[0, :]))
     out = jnp.tensordot(coef, V.reshape(m, -1), axes=1)

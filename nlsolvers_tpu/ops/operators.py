@@ -131,7 +131,7 @@ def laplacian_2d(shape, dx, dy, variant="reference", dtype=jnp.float32):
         diag = -_neighbor_count_2d(ny, nx)
     else:
         raise ValueError(f"unknown variant {variant!r}")
-    diag = jnp.asarray(diag, dtype)
+    diag = np.asarray(diag, dtype)   # numpy: jit-embedded constant
     scale = 1.0 / (dx * dy)
 
     def apply(u):
@@ -154,7 +154,7 @@ def laplacian_3d(shape, dx, variant="reference", dtype=jnp.float32):
         diag = -_neighbor_count_3d(nz, ny, nx)
     else:
         raise ValueError(f"unknown variant {variant!r}")
-    diag = jnp.asarray(diag, dtype)
+    diag = np.asarray(diag, dtype)   # numpy: jit-embedded constant
     scale = 1.0 / (dx * dx)
 
     def apply(u):
@@ -180,7 +180,7 @@ def anisotropic_laplacian_2d(c, dx, dy):
     is minus the sum of its face couplings, so the operator is exactly
     conservative (parity: laplacians.hpp:54-103). Scaled 1/(dx*dy).
     """
-    c = jnp.asarray(c)
+    c = np.asarray(c)   # numpy: jit-embedded constant
     wx = 0.5 * (c[..., :, :-1] + c[..., :, 1:])   # faces along x
     wy = 0.5 * (c[..., :-1, :] + c[..., 1:, :])   # faces along y
     scale = 1.0 / (dx * dy)
@@ -206,7 +206,7 @@ def anisotropic_laplacian_3d(c, dx, variant="reference"):
     With variant="reference" the y-face loop runs over the merged (z*y) axis,
     reproducing the reference's cross-plane seam couplings.
     """
-    c = jnp.asarray(c)
+    c = np.asarray(c)   # numpy: jit-embedded constant
     nz, ny, nx = c.shape[-3:]
     scale = 1.0 / (dx * dx)
 
@@ -266,8 +266,8 @@ def separated_laplacian_2d(shape, dx, dy, dtype=jnp.float32):
     diag_x[corner] = -1.5
     diag_y = np.where(y_edge, -1.0, -2.0)
     diag_y[corner] = -1.5
-    diag_x = jnp.asarray(diag_x, dtype)
-    diag_y = jnp.asarray(diag_y, dtype)
+    diag_x = np.asarray(diag_x, dtype)
+    diag_y = np.asarray(diag_y, dtype)
 
     def apply_x(u):
         return (neighbor_sum(u, -1) + diag_x * u) / (dx * dx)
@@ -320,7 +320,7 @@ def biharmonic_x(shape, dx, dtype=jnp.float32):
             c[nx - 2] = -2.0  # row nx-2 touches u[-4]
         return c
 
-    coefs = {k: jnp.asarray(coef(k), dtype) for k in (-2, -1, 0, 1, 2)}
+    coefs = {k: np.asarray(coef(k), dtype) for k in (-2, -1, 0, 1, 2)}
 
     def shift(u, k):
         """u[i+k] with zeros where out of range, along the last axis."""
