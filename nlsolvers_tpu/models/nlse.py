@@ -25,11 +25,12 @@ from nlsolvers_tpu.config import default_krylov_m
 __all__ = ["ss2_step", "sewi_step", "gautschi_step", "sewi_first_step"]
 
 
-def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
+             axis_names=()):
     """One SS2 Strang step: half nonlinear phase, full linear expm, half phase."""
     tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
     u = jnp.exp(0.5 * tau * rho_fn(u)) * u
-    u = expm_apply(lap, u, tau, m=m, reorth=reorth)
+    u = expm_apply(lap, u, tau, m=m, reorth=reorth, axis_names=axis_names)
     u = jnp.exp(0.5 * tau * rho_fn(u)) * u
     return u
 
@@ -39,7 +40,8 @@ def _B(u, rho_fn):
     return -rho_fn(u) * u
 
 
-def sewi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+def sewi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
+              axis_names=()):
     """One sEWI (exponential wave integrator) step; returns (u_new, u).
 
     Device semantics (nlse_dev.hpp:205-238):
@@ -47,15 +49,19 @@ def sewi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
       u_new = exp(2 i dt L) u_prev - 2 (i dt) exp(i dt L) psi
     """
     tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
-    psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth)
-    e1 = expm_apply(lap, psi, tau, m=m, reorth=reorth)
-    e2 = expm_apply(lap, u_prev, 2.0 * tau, m=m, reorth=reorth)
+    psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth,
+                        axis_names=axis_names)
+    e1 = expm_apply(lap, psi, tau, m=m, reorth=reorth, axis_names=axis_names)
+    e2 = expm_apply(lap, u_prev, 2.0 * tau, m=m, reorth=reorth,
+                    axis_names=axis_names)
     return e2 - 2.0 * tau * e1, u
 
 
-def sewi_first_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+def sewi_first_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
+                    axis_names=()):
     """sEWI bootstrap: u_prev := u, then one SS2 step (nlse_dev.hpp:206-209)."""
-    return ss2_step(u, lap, rho_fn, dt, m=m, reorth=reorth), u
+    return ss2_step(u, lap, rho_fn, dt, m=m, reorth=reorth,
+                    axis_names=axis_names), u
 
 
 def gautschi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):

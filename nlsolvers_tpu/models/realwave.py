@@ -38,17 +38,21 @@ __all__ = ["gautschi_step", "sv_step", "stochastic_sv_step"]
 
 
 def gautschi_step(u, u_past, omega2, m_field, g_fn, dt,
-                  m=default_krylov_m, filter_func="id_sqrt", reorth=True):
+                  m=default_krylov_m, filter_func="id_sqrt", reorth=True,
+                  axis_names=()):
     """One Gautschi step; returns (u_new, u).
 
     `omega2` applies L = Omega^2 (sign-insensitive, see module docstring);
     `filter_func` is "mod_cosine" for single sine-Gordon (sg_single_solver.hpp:52)
     or "id_sqrt" for the rest.
     """
-    fu = matfunc_apply(omega2, u, dt, filter_func, m=m, reorth=reorth)
+    fu = matfunc_apply(omega2, u, dt, filter_func, m=m, reorth=reorth,
+                       axis_names=axis_names)
     b = -(m_field * g_fn(fu))
-    s2 = matfunc_apply(omega2, b, dt, "sinc2_sqrt_half", m=m, reorth=reorth)
-    cu = matfunc_apply(omega2, u, dt, "cos_sqrt", m=m, reorth=reorth)
+    s2 = matfunc_apply(omega2, b, dt, "sinc2_sqrt_half", m=m, reorth=reorth,
+                       axis_names=axis_names)
+    cu = matfunc_apply(omega2, u, dt, "cos_sqrt", m=m, reorth=reorth,
+                       axis_names=axis_names)
     return 2.0 * cu - u_past + (dt * dt) * s2, u
 
 

@@ -71,7 +71,7 @@ MATFUNCS = {
 }
 
 
-def lanczos(matvec, u, m, reorth=True):
+def lanczos(matvec, u, m, reorth=True, axis_names=()):
     """m-step (Hermitian) Lanczos of a matrix-free operator.
 
     Args:
@@ -80,6 +80,10 @@ def lanczos(matvec, u, m, reorth=True):
       m: Krylov dimension (static).
       reorth: full reorthogonalization against all previous basis vectors
         (the reference always does this: eigen_krylov_real.hpp:31-38).
+      axis_names: mesh axis names the field is spatially sharded over (inside
+        shard_map). All inner products / norms are psum-reduced across them,
+        so the iteration runs on distributed grids — new capability vs the
+        reference, whose operator is always a single-device CSR (SURVEY.md §5).
 
     Returns:
       V: (m,) + u.shape Krylov basis, alpha: (m,) real diagonal of T,
@@ -88,18 +92,32 @@ def lanczos(matvec, u, m, reorth=True):
     Matches the reference recurrence (eigen_krylov_real.hpp:8-55) including the
     absence of a breakdown early-exit (commented out there as well).
     """
+    axis_names = tuple(axis_names)
     rdtype = real_dtype_of(u.dtype)
-    beta0 = jnp.linalg.norm(u.reshape(-1)).astype(rdtype)
+
+    def gsum(x):
+        return lax.psum(x, axis_names) if axis_names else x
+
+    def gnorm(x):
+        s = gsum(jnp.sum(jnp.real(x) ** 2 + (jnp.imag(x) ** 2
+                                             if jnp.iscomplexobj(x) else 0.0)))
+        return jnp.sqrt(s).astype(rdtype)
+
+    def vdot(a, b):
+        return gsum(jnp.vdot(a.reshape(-1), b.reshape(-1)))
+
+    beta0 = gnorm(u)
     v0 = (u / beta0).astype(u.dtype)
 
     V = jnp.zeros((m,) + u.shape, u.dtype).at[0].set(v0)
-    alpha = jnp.zeros((m,), rdtype)
-    beta = jnp.zeros((m,), rdtype)
+    # Seed with a data-derived zero so that, inside shard_map over MORE axes
+    # than axis_names (e.g. a batch axis), the scan carry starts out varying
+    # over those extra axes — alpha/beta genuinely differ per batch shard.
+    vzero = jnp.zeros((), rdtype) * beta0
+    alpha = jnp.zeros((m,), rdtype) + vzero
+    beta = jnp.zeros((m,), rdtype) + vzero
 
     n = u.size
-
-    def vdot(a, b):
-        return jnp.vdot(a.reshape(-1), b.reshape(-1))
 
     def body(j, carry):
         V, alpha, beta = carry
@@ -113,9 +131,9 @@ def lanczos(matvec, u, m, reorth=True):
             # Full Gram-Schmidt against the whole block in two fused matvecs;
             # columns > j are still zero and contribute nothing.
             Vm = V.reshape(m, n)
-            proj = jnp.conj(Vm) @ w.reshape(n)           # (m,)
+            proj = gsum(jnp.conj(Vm) @ w.reshape(n))     # (m,)
             w = w - (proj @ Vm).reshape(u.shape)
-        b = jnp.linalg.norm(w.reshape(-1)).astype(rdtype)
+        b = gnorm(w)
         V = V.at[j + 1].set((w / b).astype(u.dtype))
         alpha = alpha.at[j].set(a)
         beta = beta.at[j].set(b)
@@ -133,13 +151,18 @@ def tridiag_eigh(alpha, beta):
     return jnp.linalg.eigh(T)
 
 
-def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True):
+def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
+                  axis_names=()):
     """y = beta0 * V @ (Q f(t, D) Q^T e1) — the full reference matfunc apply.
 
     `func` is a key of MATFUNCS or a callable (t, lam) -> f values. `t` may be
-    complex (for "exp" with tau = i*dt as in SS2).
+    complex (for "exp" with tau = i*dt as in SS2). With `axis_names` the whole
+    pipeline runs on spatially sharded fields: the tiny T eigh is computed
+    redundantly per shard (it is replicated after the psums), which costs
+    nothing and needs no extra communication.
     """
-    V, alpha, beta, beta0 = lanczos(matvec, u, m, reorth=reorth)
+    V, alpha, beta, beta0 = lanczos(matvec, u, m, reorth=reorth,
+                                    axis_names=axis_names)
     lam, Q = tridiag_eigh(alpha, beta)
     f = MATFUNCS[func] if isinstance(func, str) else func
     fvals = f(np.asarray(t), lam)   # numpy scalar: safe jit constant
@@ -149,6 +172,7 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True):
     return out.reshape(u.shape).astype(jnp.result_type(u.dtype, coef.dtype))
 
 
-def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True):
+def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True, axis_names=()):
     """exp(t L) u — reference `expm_multiply` (eigen_krylov_complex.hpp:54-83)."""
-    return matfunc_apply(matvec, u, t, "exp", m=m, reorth=reorth)
+    return matfunc_apply(matvec, u, t, "exp", m=m, reorth=reorth,
+                         axis_names=axis_names)

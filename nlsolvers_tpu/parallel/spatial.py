@@ -1,0 +1,233 @@
+"""Spatial domain decomposition: grids sharded over a device mesh.
+
+NEW capability relative to the reference, which never decomposes a grid —
+one trajectory always owns one whole device there (SURVEY.md §5, "the operator
+is global CSR"). Here the (ny, nx) grid is split over mesh axes, the 5-point
+stencil exchanges one-deep halos with `lax.ppermute` over ICI neighbors, and
+every Lanczos inner product / norm is a `psum` (ops/krylov.py axis_names).
+
+Everything runs inside `shard_map`; the helpers below build *local* operator
+closures that are drop-in replacements for the single-device stencils in
+ops/operators.py, verified bit-for-bit against them in tests/test_spatial.py.
+
+Layout notes:
+  * halo slabs are width-1; the edge shard of each mesh axis receives zeros
+    from ppermute (no wraparound pairs), which is exactly the no-flux stencil's
+    missing-neighbor semantics — the halo IS the boundary condition.
+  * the reference-variant diagonal (-4/-3 ring) and the Neumann ghost copies
+    need global coordinates, reconstructed from lax.axis_index.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nlsolvers_tpu.config import real_dtype_of
+from nlsolvers_tpu.models import nlse as nlse_mod
+from nlsolvers_tpu.models import realwave as rw
+from nlsolvers_tpu.models.nonlinearities import nlse_density, realwave_g
+
+__all__ = [
+    "halo_neighbor_sum",
+    "sharded_laplacian_2d",
+    "sharded_neumann_2d",
+    "make_sharded_nlse_step",
+    "make_sharded_realwave_step",
+]
+
+
+def _axis_size(axis_name):
+    return lax.psum(1, axis_name)
+
+
+def _recv_from_next(slab, axis_name):
+    """Each shard receives the given slab from its successor (last gets 0)."""
+    size = lax.axis_size(axis_name)
+    perm = [(i, i - 1) for i in range(1, size)]
+    return lax.ppermute(slab, axis_name, perm)
+
+
+def _recv_from_prev(slab, axis_name):
+    """Each shard receives the given slab from its predecessor (first gets 0)."""
+    size = lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(size - 1)]
+    return lax.ppermute(slab, axis_name, perm)
+
+
+def halo_neighbor_sum(u, axis, axis_name):
+    """Distributed analogue of ops.operators.neighbor_sum along one grid axis
+    sharded over `axis_name`: u[i-1] + u[i+1] with cross-shard halos and zeros
+    at the global ends."""
+    n = u.shape[axis]
+    fwd = lax.slice_in_dim(u, 1, n, axis=axis)
+    bwd = lax.slice_in_dim(u, 0, n - 1, axis=axis)
+    first = lax.slice_in_dim(u, 0, 1, axis=axis)
+    last = lax.slice_in_dim(u, n - 1, n, axis=axis)
+    halo_next = _recv_from_next(first, axis_name)  # successor's first row
+    halo_prev = _recv_from_prev(last, axis_name)   # predecessor's last row
+    return (jnp.concatenate([fwd, halo_next], axis=axis)
+            + jnp.concatenate([halo_prev, bwd], axis=axis))
+
+
+def _global_coords(local_shape, axis_names):
+    """Global (row, col) index arrays of the local block, each (lny, lnx)."""
+    lny, lnx = local_shape
+    ay, ax = axis_names
+    gy = (lax.axis_index(ay) * lny
+          + lax.broadcasted_iota(jnp.int32, (lny, lnx), 0))
+    gx = (lax.axis_index(ax) * lnx
+          + lax.broadcasted_iota(jnp.int32, (lny, lnx), 1))
+    return gy, gx
+
+
+def sharded_laplacian_2d(global_shape, dx, dy, axis_names,
+                         variant="reference", dtype=jnp.float32):
+    """Local closure for the 2D no-flux Laplacian on a (ay, ax)-sharded grid.
+
+    Semantics identical to ops.operators.laplacian_2d on the gathered global
+    array (parity: laplacians.hpp:10-52, including the -3 ring diagonal).
+    """
+    NY, NX = global_shape
+    ay, ax = axis_names
+    scale = 1.0 / (dx * dy)
+
+    def apply(u):
+        lny, lnx = u.shape[-2:]
+        gy, gx = _global_coords((lny, lnx), axis_names)
+        ring = ((gy == 0) | (gy == NY - 1) | (gx == 0) | (gx == NX - 1))
+        if variant == "reference":
+            diag = jnp.where(ring, -3.0, -4.0).astype(dtype)
+        elif variant == "clean":
+            nnb = (4.0
+                   - (gy == 0) - (gy == NY - 1)
+                   - (gx == 0) - (gx == NX - 1))
+            diag = (-nnb).astype(dtype)
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
+        nb = (halo_neighbor_sum(u, -1, ax) + halo_neighbor_sum(u, -2, ay))
+        return (nb + diag * u) * scale
+
+    return apply
+
+
+def sharded_neumann_2d(global_shape, axis_names):
+    """Local closure for the Neumann ghost copy on a sharded grid.
+
+    Same update order as boundaries.hpp:41-57: edge rows over interior global
+    columns first, then full edge columns. Uses where-masks on global
+    coordinates; requires local blocks of at least 2 rows/cols.
+    """
+    NY, NX = global_shape
+
+    def apply(u):
+        lny, lnx = u.shape[-2:]
+        gy, gx = _global_coords((lny, lnx), axis_names)
+        interior_x = (gx >= 1) & (gx <= NX - 2)
+        u = jnp.where((gy == 0) & interior_x, u[..., 1:2, :], u)
+        u = jnp.where((gy == NY - 1) & interior_x, u[..., -2:-1, :], u)
+        u = jnp.where(gx == 0, u[..., :, 1:2], u)
+        u = jnp.where(gx == NX - 1, u[..., :, -2:-1], u)
+        return u
+
+    return apply
+
+
+def _spec(mesh_axes, batch_axis):
+    if batch_axis is None:
+        return P(*mesh_axes)
+    return P(batch_axis, *mesh_axes)
+
+
+def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
+                           axis_names=("gy", "gx"), batch_axis=None,
+                           sigma1=1.0, sigma2=-0.1, kappa=1.0,
+                           krylov_m=10, dtype=jnp.complex64,
+                           variant="reference", apply_bc=True, reorth=True):
+    """Builds a jitted SS2 step over a spatially sharded (optionally also
+    trajectory-batched) grid.
+
+    Returns step(u_packed, m_field) -> u_packed, operating on GLOBAL arrays:
+    u_packed is (2, ny, nx) stacked real/imag (or (2, B, ny, nx) with a batch
+    axis), m_field is (ny, nx) / (B, ny, nx). Shardings follow the mesh axes.
+    """
+    NY, NX = global_shape
+    nx = NX
+    dx = 2.0 * Lx / (nx - 1)
+    rdtype = real_dtype_of(dtype)
+    ay, ax = axis_names
+
+    lap = sharded_laplacian_2d(global_shape, dx, dx, axis_names,
+                               variant=variant, dtype=rdtype)
+    neumann = (sharded_neumann_2d(global_shape, axis_names) if apply_bc
+               else (lambda u: u))
+
+    def local_single(u, mloc):
+        rho = nlse_density(kind, mloc, sigma1=sigma1, sigma2=sigma2,
+                           kappa=kappa)
+        u = nlse_mod.ss2_step(u, lap, rho, dt, m=krylov_m, reorth=reorth,
+                              axis_names=axis_names)
+        return neumann(u)
+
+    def local_step(u_packed, mloc):
+        u = lax.complex(u_packed[0], u_packed[1])
+        if batch_axis is None:
+            u = local_single(u, mloc)
+        else:
+            u = jax.vmap(local_single)(u, mloc)
+        return jnp.stack([jnp.real(u), jnp.imag(u)])
+
+    grid_spec = _spec(axis_names, batch_axis)
+    u_spec = (P(None, *axis_names) if batch_axis is None
+              else P(None, batch_axis, *axis_names))
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(u_spec, grid_spec),
+                            out_specs=u_spec)
+    return jax.jit(sharded)
+
+
+def make_sharded_realwave_step(kind, global_shape, Lx, dt, mesh,
+                               axis_names=("gy", "gx"), batch_axis=None,
+                               integrator="gautschi", krylov_m=10,
+                               dtype=jnp.float32, variant="reference",
+                               apply_bc=True, reorth=True):
+    """Builds a jitted real-wave step (Gautschi or SV) on a sharded grid.
+
+    Returns step(u, u_past, m_field) -> (u_new, u) on GLOBAL (ny, nx) arrays
+    (or (B, ny, nx) with batch_axis).
+    """
+    NY, NX = global_shape
+    dx = 2.0 * Lx / (NX - 1)
+    rdtype = real_dtype_of(dtype)
+    g = realwave_g(kind)
+    filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
+
+    lap = sharded_laplacian_2d(global_shape, dx, dx, axis_names,
+                               variant=variant, dtype=rdtype)
+    omega2 = lambda u: -lap(u)
+    neumann = (sharded_neumann_2d(global_shape, axis_names) if apply_bc
+               else (lambda u: u))
+
+    def local_single(u, u_past, mloc):
+        if integrator == "gautschi":
+            u_new, u_past_new = rw.gautschi_step(
+                u, u_past, omega2, mloc, g, dt, m=krylov_m,
+                filter_func=filter_func, reorth=reorth,
+                axis_names=axis_names)
+        else:
+            u_new, u_past_new = rw.sv_step(u, u_past, lap, mloc, g, dt)
+        return neumann(u_new), u_past_new
+
+    def local_step(u, u_past, mloc):
+        if batch_axis is None:
+            return local_single(u, u_past, mloc)
+        return jax.vmap(local_single)(u, u_past, mloc)
+
+    spec = _spec(axis_names, batch_axis)
+    sharded = jax.shard_map(local_step, mesh=mesh,
+                            in_specs=(spec, spec, spec),
+                            out_specs=(spec, spec))
+    return jax.jit(sharded)
