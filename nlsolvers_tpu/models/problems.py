@@ -52,11 +52,10 @@ class Problem:
 
 
 def run(problem, state0, num_snapshots, snapshot_freq, jit=True):
-    """Evolve and return the snapshot stack (index 0 = initial state)."""
-    fn = partial(evolve, problem.step)
+    """Evolve and return the observed snapshot stack (index 0 = initial)."""
+    fn = partial(evolve, problem.step, observe=problem.observe)
     if jit:
         fn = jax.jit(fn, static_argnums=(1, 2))
-        return fn(state0, num_snapshots, snapshot_freq)
     return fn(state0, num_snapshots, snapshot_freq)
 
 

@@ -166,10 +166,13 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     lam, Q = tridiag_eigh(alpha, beta)
     f = MATFUNCS[func] if isinstance(func, str) else func
     fvals = f(np.asarray(t), lam)   # numpy scalar: safe jit constant
-    # y = beta0 * V (Q f(D) Q^T e1); Q^T e1 is Q's first row.
+    # y = beta0 * V (Q f(D) Q^T e1); Q^T e1 is Q's first row. The tiny
+    # m-vector algebra may promote to 64-bit (np scalar t under x64); the
+    # field-sized result always stays in the state dtype — otherwise a
+    # float32 scan carry silently becomes float64 mid-trajectory.
     coef = beta0 * (Q @ (fvals * Q[0, :]))
     out = jnp.tensordot(coef, V.reshape(m, -1), axes=1)
-    return out.reshape(u.shape).astype(jnp.result_type(u.dtype, coef.dtype))
+    return out.reshape(u.shape).astype(u.dtype)
 
 
 def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True, axis_names=()):

@@ -61,6 +61,17 @@ __all__ = [
 ]
 
 
+def _const_or_traced(c):
+    """Concrete coefficient fields become numpy (jit-embedded constants);
+    tracers pass through so operators can close over per-trajectory c that is
+    an argument of the surrounding jit/vmap (pipeline/engine.py)."""
+    import jax
+
+    if isinstance(c, jax.core.Tracer):
+        return c
+    return np.asarray(c)
+
+
 def _zeros_slice(u, axis):
     """A width-1 zero slab along `axis` (negative axis indices supported)."""
     shape = list(u.shape)
@@ -180,7 +191,7 @@ def anisotropic_laplacian_2d(c, dx, dy):
     is minus the sum of its face couplings, so the operator is exactly
     conservative (parity: laplacians.hpp:54-103). Scaled 1/(dx*dy).
     """
-    c = np.asarray(c)   # numpy: jit-embedded constant
+    c = _const_or_traced(c)
     wx = 0.5 * (c[..., :, :-1] + c[..., :, 1:])   # faces along x
     wy = 0.5 * (c[..., :-1, :] + c[..., 1:, :])   # faces along y
     scale = 1.0 / (dx * dy)
@@ -206,7 +217,7 @@ def anisotropic_laplacian_3d(c, dx, variant="reference"):
     With variant="reference" the y-face loop runs over the merged (z*y) axis,
     reproducing the reference's cross-plane seam couplings.
     """
-    c = np.asarray(c)   # numpy: jit-embedded constant
+    c = _const_or_traced(c)
     nz, ny, nx = c.shape[-3:]
     scale = 1.0 / (dx * dx)
 

@@ -1,0 +1,313 @@
+"""Datagen launchers: sample -> evolve (batched, on-mesh) -> downsample -> HDF5.
+
+TPU-native replacement for the reference's four launcher scripts
+(finalized_scripts/complex_launcher_{2d,3d}.py, real_launcher_{2d,3d}.py) and
+their surrounding SLURM-array / mpi4py farms: instead of one subprocess + .npy
+round-trip per trajectory, a whole batch of trajectories is one jitted,
+vmapped XLA program (pipeline/engine.py) whose batch axis can be sharded over
+a device mesh. There are no intermediate files to clean up — samplers,
+solver, downsampling, and the HDF5 writer share one process.
+
+Per-run archives keep the reference HDF5 schema (pipeline/io_hdf5.py), so
+reference post-processing tools work on our datasets unchanged.
+"""
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from nlsolvers_tpu.pipeline import downsample as ds
+from nlsolvers_tpu.pipeline import fields as field_gen
+from nlsolvers_tpu.pipeline import io_hdf5, spaces
+from nlsolvers_tpu.pipeline.engine import (make_nlse_trajectory_fn,
+                                           make_realwave_trajectory_fn)
+from nlsolvers_tpu.pipeline.grids import Grid2D, Grid3D
+from nlsolvers_tpu.pipeline.samplers.nlse2d import NLSEPhenomenonSampler
+from nlsolvers_tpu.pipeline.samplers.nlse3d import NLSE3DSampler
+from nlsolvers_tpu.pipeline.samplers.realwave2d import RealWaveSampler
+from nlsolvers_tpu.pipeline.samplers.realwave3d import RealWaveSampler3d
+
+__all__ = ["DatagenConfig", "Datagen", "draw_from_space"]
+
+NLSE_SYSTEMS = ("cubic", "cubic_quintic", "saturable")
+
+
+def draw_from_space(rng, space):
+    """One concrete parameter draw from a dict-of-candidate-lists space
+    (parity: complex_launcher_2d.py sample_phenomenon_params:102-115 — every
+    value list is a uniform categorical, tuple entries picked whole)."""
+    params = {}
+    for key, values in space.items():
+        idx = int(rng.integers(len(values)))
+        params[key] = values[idx]
+    return params
+
+
+@dataclass
+class DatagenConfig:
+    family: str                      # "nlse" | "realwave"
+    phenomenon: str
+    system: str = "cubic"            # equation kind within the family
+    dim: int = 2
+    nx: int = 128
+    Lx: float = 10.0
+    T: float = 1.5
+    nt: int = 500
+    snapshots: int = 100
+    num_runs: int = 1
+    batch_size: int = 0              # 0 -> one batch of num_runs
+    integrator: str = ""             # "" -> family default (ss2 / gautschi)
+    anisotropy_type: str = "constant"
+    m_type: str = "constant"
+    m0: float = 1.0
+    sigma1: float = 1.0
+    sigma2: float = -0.1
+    kappa: float = 1.0
+    noise_strength: float = 0.1
+    krylov_m: int = 0                # 0 -> reference defaults per system/dim
+    dtype: str = ""                  # "" -> complex64 / float32
+    variant: str = "reference"
+    dr_target: int = 0               # 0 -> no downsampling
+    dr_strategy: str = "interpolation"
+    seed: int = 0
+    output_dir: str = "datagen_out"
+    mesh: object = None              # jax Mesh to shard the batch axis over
+    batch_axis: str = "batch"
+    normalize_ic: bool = True        # NLSE only (complex_launcher_2d.py:95)
+
+    def __post_init__(self):
+        assert self.family in ("nlse", "realwave")
+        assert self.dim in (2, 3)
+        if not self.integrator:
+            self.integrator = "ss2" if self.family == "nlse" else "gautschi"
+        if not self.dtype:
+            self.dtype = "complex64" if self.family == "nlse" else "float32"
+        if not self.krylov_m:
+            if self.family == "nlse" and self.dim == 2:
+                self.krylov_m = {"cubic": 20, "cubic_quintic": 15,
+                                 "saturable": 15}.get(self.system, 20)
+            else:
+                self.krylov_m = 10
+        if not self.batch_size:
+            self.batch_size = self.num_runs
+
+    @property
+    def shape(self):
+        return (self.nx,) * self.dim
+
+    @property
+    def extents(self):
+        return (self.Lx,) * self.dim
+
+    @property
+    def dt(self):
+        return self.T / self.nt
+
+    @property
+    def snapshot_freq(self):
+        return max(1, self.nt // self.snapshots)
+
+
+class Datagen:
+    """Runs a datagen sweep: num_runs trajectories in batches, each archived
+    as hdf5/run_<id>_<idx>.h5 under output_dir (+ a params_<id>.txt manifest,
+    complex_launcher_2d.py:60-69)."""
+
+    def __init__(self, config):
+        self.cfg = config
+        cfg = config
+        self.run_id = str(uuid.uuid4())[:8]
+        self.rng = np.random.default_rng(cfg.seed)
+        self.grid = (Grid2D(cfg.nx, cfg.nx, cfg.Lx) if cfg.dim == 2
+                     else Grid3D(cfg.nx, cfg.nx, cfg.nx, cfg.Lx))
+
+        self.out = Path(cfg.output_dir)
+        self.h5_dir = self.out / "hdf5"
+        self.h5_dir.mkdir(parents=True, exist_ok=True)
+        self._write_manifest()
+
+        if cfg.family == "nlse":
+            self.sampler = (
+                NLSEPhenomenonSampler(cfg.nx, cfg.nx, cfg.Lx, seed=cfg.seed)
+                if cfg.dim == 2
+                else NLSE3DSampler(cfg.nx, cfg.nx, cfg.nx, cfg.Lx,
+                                   seed=cfg.seed))
+            self.space = self._space_for("nlse")
+            self.traj_fn = make_nlse_trajectory_fn(
+                cfg.system, cfg.shape, cfg.Lx, cfg.dt,
+                integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+                sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
+                dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
+                mesh=cfg.mesh, batch_axis=cfg.batch_axis)
+        else:
+            self.sampler = (
+                RealWaveSampler(cfg.nx, cfg.nx, cfg.Lx, seed=cfg.seed)
+                if cfg.dim == 2
+                else RealWaveSampler3d(cfg.nx, cfg.nx, cfg.nx, cfg.Lx,
+                                       seed=cfg.seed))
+            self.space = self._space_for("realwave")
+            self.traj_fn = make_realwave_trajectory_fn(
+                cfg.system, cfg.shape, cfg.Lx, cfg.dt,
+                integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+                noise_strength=cfg.noise_strength, seed=cfg.seed,
+                dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
+                mesh=cfg.mesh, batch_axis=cfg.batch_axis)
+
+    def _space_for(self, family):
+        cfg = self.cfg
+        if family == "nlse":
+            table = (spaces.nlse_parameter_spaces() if cfg.dim == 2
+                     else spaces.nlse_parameter_spaces_3d())
+        else:
+            table = (spaces.realwave_parameter_spaces(cfg.Lx) if cfg.dim == 2
+                     else spaces.realwave_parameter_spaces_3d(cfg.Lx))
+        if cfg.phenomenon not in table:
+            raise ValueError(
+                f"unknown phenomenon {cfg.phenomenon!r} for {family} "
+                f"{cfg.dim}D; known: {sorted(table)}")
+        return table[cfg.phenomenon]
+
+    def _write_manifest(self):
+        cfg = self.cfg
+        lines = [f"Run ID: {self.run_id}",
+                 f"Family: {cfg.family} ({cfg.system}, {cfg.integrator})",
+                 f"Grid: {'x'.join([str(cfg.nx)] * cfg.dim)}",
+                 f"Domain: half-width {cfg.Lx}",
+                 f"Time: T={cfg.T}, steps={cfg.nt}, "
+                 f"snapshots={cfg.snapshots}",
+                 f"Phenomenon: {cfg.phenomenon}",
+                 f"Anisotropy: {cfg.anisotropy_type}",
+                 f"Amplification: {cfg.m_type}",
+                 f"Seed: {cfg.seed}"]
+        (self.out / f"params_{self.run_id}.txt").write_text(
+            "\n".join(lines) + "\n")
+
+    # -- per-run host-side sampling -------------------------------------
+    def _sample_ic(self, params):
+        cfg = self.cfg
+        params = dict(params)
+        if cfg.family == "nlse":
+            system = params.pop("system_type", None)
+            if system is None:
+                system = (cfg.system if cfg.system in NLSE_SYSTEMS
+                          else "cubic")
+            sample = self.sampler.generate_sample(cfg.phenomenon,
+                                                  system_type=system,
+                                                  **params)
+            u0 = np.asarray(sample)
+            if cfg.normalize_ic:
+                peak = np.max(np.abs(u0))
+                if peak > 0:
+                    u0 = u0 / peak
+            return u0, None
+        params.pop("system_type", None)
+        system = cfg.system if cfg.system != "stochastic_phi4" else "phi4"
+        u0, v0 = self.sampler.generate_sample(
+            system_type=system, phenomenon_type=cfg.phenomenon, **params)
+        return np.asarray(u0), np.asarray(v0)
+
+    def _sample_fields(self):
+        cfg = self.cfg
+        c, c_params = field_gen.sample_c_field(self.grid, self.rng,
+                                               kind=cfg.anisotropy_type)
+        m, m_params = field_gen.sample_m_field(self.grid, self.rng,
+                                               kind=cfg.m_type, c=c,
+                                               m0=cfg.m0)
+        return c, m, c_params, m_params
+
+    def _sample_batch(self, batch):
+        metas, u0s, v0s, ms, cs = [], [], [], [], []
+        for _ in range(batch):
+            params = draw_from_space(self.rng, self.space)
+            u0, v0 = self._sample_ic(params)
+            c, m, c_params, m_params = self._sample_fields()
+            metas.append((params, c_params, m_params))
+            u0s.append(u0)
+            v0s.append(v0)
+            ms.append(m)
+            cs.append(c)
+        return metas, u0s, v0s, np.stack(ms), np.stack(cs)
+
+    # -- evolution ------------------------------------------------------
+    def _evolve_nlse(self, u0s, m, c):
+        cfg = self.cfg
+        u0 = np.stack(u0s)
+        packed = np.stack([u0.real, u0.imag], axis=1).astype(np.float32
+                          if cfg.dtype == "complex64" else np.float64)
+        out = self.traj_fn(packed, m.astype(packed.dtype),
+                           c.astype(packed.dtype), cfg.snapshots,
+                           cfg.snapshot_freq)
+        out = np.asarray(out)                       # (B, S, 2, *shape)
+        return out[:, :, 0] + 1j * out[:, :, 1]     # complex (B, S, *shape)
+
+    def _evolve_realwave(self, u0s, v0s, m, c):
+        cfg = self.cfg
+        rdt = np.float32 if cfg.dtype == "float32" else np.float64
+        u0 = np.stack(u0s).astype(rdt)
+        v0 = np.stack(v0s).astype(rdt)
+        u_t, v_t = self.traj_fn(u0, v0, m.astype(rdt), c.astype(rdt),
+                                cfg.snapshots, cfg.snapshot_freq)
+        return np.asarray(u_t), np.asarray(v_t)
+
+    def _downsample(self, traj):
+        cfg = self.cfg
+        if not cfg.dr_target or cfg.dr_strategy == "none":
+            return traj
+        target = (cfg.dr_target,) * cfg.dim
+        return ds.downsample_trajectory(traj, target, *cfg.extents,
+                                        method=cfg.dr_strategy.lower()
+                                        if cfg.dr_strategy != "FFT"
+                                        else "fft")
+
+    # -- the sweep ------------------------------------------------------
+    def run(self):
+        cfg = self.cfg
+        written = []
+        done = 0
+        while done < cfg.num_runs:
+            batch = min(cfg.batch_size, cfg.num_runs - done)
+            metas, u0s, v0s, m, c = self._sample_batch(batch)
+            t0 = time.time()
+            if cfg.family == "nlse":
+                u_traj = self._evolve_nlse(u0s, m, c)
+                v_traj = None
+            else:
+                u_traj, v_traj = self._evolve_realwave(u0s, v0s, m, c)
+            walltime = time.time() - t0
+            per_run = walltime / batch
+
+            for b in range(batch):
+                idx = done + b
+                if not np.isfinite(u_traj[b]).all():
+                    print(f"run {idx}: non-finite trajectory, skipping "
+                          f"(phenomenon params {metas[b][0]})")
+                    continue
+                path = self.h5_dir / f"run_{self.run_id}_{idx:04d}.h5"
+                params, c_params, m_params = metas[b]
+                io_hdf5.save_run(
+                    path,
+                    problem_type=cfg.system,
+                    run_id=self.run_id, run_index=idx,
+                    phenomenon=cfg.phenomenon, phenomenon_params=params,
+                    shape=cfg.shape, extents=cfg.extents,
+                    T=cfg.T, nt=cfg.nt, num_snapshots=cfg.snapshots,
+                    u0=u0s[b], v0=v0s[b],
+                    u=self._downsample(u_traj[b]),
+                    v=(self._downsample(v_traj[b])
+                       if v_traj is not None else None),
+                    m=m[b], c=c[b], m_type=m_params.get("type", cfg.m_type),
+                    m_attrs={f"m_{k}": str(v) for k, v in m_params.items()},
+                    elapsed_time=per_run,
+                    extra_meta=dict(
+                        integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+                        anisotropy_type=c_params.get("type",
+                                                     cfg.anisotropy_type),
+                        **{f"c_{k}": str(v) for k, v in c_params.items()}))
+                written.append(path)
+            done += batch
+            print(f"batch done: {done}/{cfg.num_runs} runs, "
+                  f"{walltime:.2f}s ({per_run:.2f}s/run)")
+        return written

@@ -1,0 +1,163 @@
+"""Datagen stack: batched engine parity, HDF5 schema, launcher + CLI e2e.
+
+The engine must reproduce the single-trajectory Problem path exactly (same
+steppers, fields now traced arguments), and archives must follow the
+reference HDF5 layout (complex_launcher_2d.py:196-240) so reference
+post-processing reads them unchanged.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nlsolvers_tpu.models import problems
+from nlsolvers_tpu.pipeline import io_hdf5
+from nlsolvers_tpu.pipeline.datagen import Datagen, DatagenConfig
+from nlsolvers_tpu.pipeline.engine import (make_nlse_trajectory_fn,
+                                           make_realwave_trajectory_fn)
+
+N, LX, DT = 32, 5.0, 1e-3
+SNAPS, FREQ = 4, 5
+
+
+def _rng_fields(b, seed=0):
+    rng = np.random.default_rng(seed)
+    m = 1.0 + 0.1 * rng.standard_normal((b, N, N))
+    c = 1.0 + 0.1 * rng.standard_normal((b, N, N))
+    return m.astype(np.float64), c.astype(np.float64)
+
+
+def _gauss_ic(b, complex_=True, seed=1):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(-LX, LX, N)
+    out = []
+    for i in range(b):
+        env = np.exp(-(x[:, None] ** 2 + x[None, :] ** 2)
+                     / (2.0 + 0.5 * i))
+        if complex_:
+            out.append(env * np.exp(1j * 0.3 * i * x[None, :]))
+        else:
+            out.append(env)
+    return np.stack(out)
+
+
+@pytest.mark.parametrize("integrator", ["ss2", "sewi"])
+def test_engine_nlse_matches_problem(integrator):
+    """Batched traced-field engine == per-sample Problem evolution."""
+    B = 2
+    m, c = _rng_fields(B)
+    u0 = _gauss_ic(B)
+    traj_fn = make_nlse_trajectory_fn(
+        "cubic", (N, N), LX, DT, integrator=integrator, krylov_m=6,
+        dtype=jnp.complex128)
+    packed = np.stack([u0.real, u0.imag], axis=1)
+    out = np.asarray(traj_fn(packed, m, c, SNAPS, FREQ))
+    batched = out[:, :, 0] + 1j * out[:, :, 1]
+
+    for b in range(B):
+        prob = problems.nlse_problem(
+            "cubic", (N, N), LX, DT, m_field=m[b], c_field=c[b],
+            integrator=integrator, krylov_m=6, dtype=jnp.complex128)
+        ref = np.asarray(problems.run(prob, prob.init(u0[b]), SNAPS, FREQ))
+        np.testing.assert_allclose(batched[b], ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("integrator", ["gautschi", "sv"])
+def test_engine_realwave_matches_problem(integrator):
+    B = 2
+    m, c = _rng_fields(B, seed=2)
+    u0 = _gauss_ic(B, complex_=False)
+    v0 = 0.1 * _gauss_ic(B, complex_=False, seed=3)
+    traj_fn = make_realwave_trajectory_fn(
+        "sine_gordon", (N, N), LX, DT, integrator=integrator, krylov_m=6,
+        dtype=jnp.float64)
+    u_t, v_t = traj_fn(u0, v0, m, c, SNAPS, FREQ)
+    u_t, v_t = np.asarray(u_t), np.asarray(v_t)
+
+    for b in range(B):
+        prob = problems.realwave_problem(
+            "sine_gordon", (N, N), LX, DT, m_field=m[b], c_field=c[b],
+            integrator=integrator, krylov_m=6, dtype=jnp.float64)
+        ref_u, ref_v = problems.run(prob, prob.init(u0[b], v0[b]),
+                                    SNAPS, FREQ)
+        np.testing.assert_allclose(u_t[b], np.asarray(ref_u),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(v_t[b], np.asarray(ref_v),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_engine_stochastic_reproducible():
+    B = 2
+    m, _ = _rng_fields(B, seed=4)
+    u0 = _gauss_ic(B, complex_=False)
+    v0 = np.zeros_like(u0)
+    fn = make_realwave_trajectory_fn(
+        "stochastic_phi4", (N, N), LX, DT, noise_strength=0.1, seed=7,
+        dtype=jnp.float64, use_c=False)
+    u1, _ = fn(u0, v0, m, None, SNAPS, FREQ)
+    u2, _ = fn(u0, v0, m, None, SNAPS, FREQ)
+    np.testing.assert_array_equal(np.asarray(u1), np.asarray(u2))
+    # per-sample noise must differ (fold_in over the batch index)
+    assert not np.allclose(np.asarray(u1)[0], np.asarray(u1)[1])
+
+
+def test_hdf5_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((SNAPS, N, N)) + 1j * rng.standard_normal(
+        (SNAPS, N, N))
+    path = io_hdf5.save_run(
+        tmp_path / "run.h5", problem_type="cubic", run_id="abc",
+        run_index=3, phenomenon="multi_soliton",
+        phenomenon_params={"coherence": 0.5}, shape=(N, N),
+        extents=(LX, LX), T=1.0, nt=100, num_snapshots=SNAPS,
+        u0=u[0], u=u, m=np.ones((N, N)), c=np.ones((N, N)),
+        m_type="constant", elapsed_time=1.25)
+    out = io_hdf5.load_run(path)
+    assert out["metadata"]["problem_type"] == "cubic"
+    assert out["metadata"]["phenomenon_coherence"] == "0.5"
+    assert out["grid"]["nx"] == N and out["grid"]["Lx"] == LX
+    assert out["time"]["nt"] == 100
+    np.testing.assert_array_equal(out["u"], u)
+    np.testing.assert_array_equal(out["u0"], u[0])
+    assert out["X"].shape == (N, N)
+
+
+def test_datagen_nlse_end_to_end(tmp_path):
+    cfg = DatagenConfig(
+        family="nlse", phenomenon="multi_soliton", system="cubic",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, batch_size=2,
+        anisotropy_type="periodic_structure", m_type="piecewise",
+        krylov_m=6, seed=11, output_dir=str(tmp_path))
+    paths = Datagen(cfg).run()
+    assert len(paths) == 2
+    out = io_hdf5.load_run(paths[0])
+    assert out["u"].shape == (3, N, N)
+    assert np.iscomplexobj(out["u"])
+    assert np.isfinite(out["u"]).all()
+    # snapshot 0 is the (normalized) IC
+    np.testing.assert_allclose(np.abs(out["u"][0]).max(), 1.0, rtol=1e-6)
+    assert out["metadata"]["problem_type"] == "cubic"
+    assert (tmp_path / f"params_{out['metadata']['run_id']}.txt").exists()
+
+
+def test_datagen_realwave_end_to_end(tmp_path):
+    cfg = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=1,
+        krylov_m=6, seed=5, output_dir=str(tmp_path), dr_target=16)
+    paths = Datagen(cfg).run()
+    out = io_hdf5.load_run(paths[0])
+    assert out["u"].shape == (3, 16, 16)      # downsampled
+    assert out["v"].shape == (3, 16, 16)
+    assert out["u0"].shape == (N, N)          # IC kept at full resolution
+    assert np.isfinite(out["v"]).all()
+
+
+def test_cli_smoke(tmp_path):
+    from nlsolvers_tpu.pipeline.__main__ import main
+    rc = main(["nlse", "--phenomenon", "multi_soliton", "--nx", str(N),
+               "--T", "0.01", "--nt", "10", "--snapshots", "2",
+               "--num-runs", "1", "--krylov-m", "6",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert len(list((tmp_path / "hdf5").glob("*.h5"))) == 1
