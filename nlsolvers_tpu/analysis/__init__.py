@@ -1,0 +1,14 @@
+"""Analysis / post-processing: the L4 layer (SURVEY.md sections 2.7, 3.5).
+
+energy        closed-form energy/mass functionals per equation family
+conservation  per-trajectory drift metrics (the accuracy gate)
+ensemble      HDF5 dataset sweeps + collective stats + NaN hunting
+compare       integrator A/B (nx x dt) studies, convergence/work-precision
+spectral      modal entropy, mutual information, dispersion diagnostics
+animate       2D/3D trajectory animation and snapshot montages
+"""
+
+from nlsolvers_tpu.analysis import (compare, conservation, energy, ensemble,
+                                    spectral)
+
+__all__ = ["compare", "conservation", "energy", "ensemble", "spectral"]

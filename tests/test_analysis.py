@@ -1,0 +1,210 @@
+"""Analysis layer: energy parity vs hand-rolled oracles, conservation gates
+on real solver output, ensemble sweeps over written archives, A/B studies.
+
+The energy oracles re-implement the reference closed forms independently
+(loops/np.gradient, process_h5/ensemble_processing.py:48-89) so a port bug
+in the vectorized versions cannot self-confirm.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nlsolvers_tpu.analysis import (compare, conservation, energy, ensemble,
+                                    spectral)
+from nlsolvers_tpu.models import problems
+from nlsolvers_tpu.pipeline import io_hdf5
+from nlsolvers_tpu.pipeline.datagen import Datagen, DatagenConfig
+
+N, LX = 32, 5.0
+DXY = (2 * LX / (N - 1),) * 2
+
+
+def _oracle_energy_terms(u, v, dx, dy, problem_type):
+    dV = dx * dy
+    gx, gy = np.gradient(u, dx, dy, axis=(0, 1))
+    grad2 = np.abs(gx) ** 2 + np.abs(gy) ** 2
+    if problem_type == "sine_gordon":
+        kin = 0.5 * np.sum(v ** 2) * dV
+        grad = 0.5 * np.sum(grad2) * dV
+        pot = np.sum(1 - np.cos(u)) * dV
+    elif problem_type == "klein_gordon":
+        kin = 0.5 * np.sum(v ** 2) * dV
+        grad = 0.5 * np.sum(grad2) * dV
+        pot = 0.5 * np.sum(u ** 4) * dV
+    elif problem_type == "phi4":
+        kin = 0.5 * np.sum(v ** 2) * dV
+        grad = 0.5 * np.sum(grad2) * dV
+        pot = np.sum(u ** 2 - u ** 4) * dV
+    else:  # cubic
+        kin = 0.0
+        grad = np.sum(grad2) * dV
+        pot = -0.5 * np.sum(np.abs(u) ** 4) * dV
+    return kin + grad + pot, kin, grad, pot
+
+
+@pytest.mark.parametrize("ptype", ["klein_gordon", "cubic", "sine_gordon",
+                                   "phi4"])
+def test_energy_terms_match_oracle(ptype):
+    rng = np.random.default_rng(0)
+    if ptype == "cubic":
+        u = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+        v = None
+    else:
+        u = rng.standard_normal((N, N))
+        v = rng.standard_normal((N, N))
+    tot, kin, grad, pot = energy.energy_terms(u, v, DXY, ptype)
+    o_tot, o_kin, o_grad, o_pot = _oracle_energy_terms(
+        u, v, DXY[0], DXY[1], ptype)
+    np.testing.assert_allclose(
+        [tot, kin, grad, pot], [o_tot, o_kin, o_grad, o_pot], rtol=1e-12)
+
+
+def test_energy_terms_snapshot_stack():
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((4, N, N))
+    v = rng.standard_normal((4, N, N))
+    tot, kin, grad, pot = energy.energy_terms(u, v, DXY, "sine_gordon")
+    assert tot.shape == (4,)
+    o = _oracle_energy_terms(u[2], v[2], DXY[0], DXY[1], "sine_gordon")
+    np.testing.assert_allclose(tot[2], o[0], rtol=1e-12)
+
+
+def test_gradient_sq_norm_with_c():
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal((N, N))
+    c = 1.0 + 0.3 * rng.standard_normal((N, N))
+    got = energy.gradient_sq_norm(u, DXY, c=c)
+    dx, dy = DXY
+    ux = (u[1:-1, 2:] - u[1:-1, :-2]) / (2 * dx)
+    uy = (u[2:, 1:-1] - u[:-2, 1:-1]) / (2 * dy)
+    want = np.sum(c[1:-1, 1:-1] * (ux ** 2 + uy ** 2)) * dx * dy
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_nlse_conservation_gate_on_solver_output():
+    """A real SS2 evolution must pass the drift gate; a corrupted one fails."""
+    m = np.ones((N, N))
+    prob = problems.nlse_problem("cubic", (N, N), LX, 1e-3, m_field=m,
+                                 krylov_m=8, dtype=jnp.complex128)
+    x = np.linspace(-LX, LX, N)
+    u0 = np.exp(-(x[:, None] ** 2 + x[None, :] ** 2) / 2).astype(complex)
+    traj = np.asarray(problems.run(prob, prob.init(u0), 5, 10))
+    res = conservation.analyze_nlse_trajectory(traj, DXY, T=0.05)
+    assert res["simulation_stable"]
+    # SS2 conserves mass to near machine precision
+    assert np.nanmax(res["mass_log10_rel_error"][1:]) < -6
+    assert np.isfinite(res["max_abs_hamiltonian_rel_error"])
+
+    bad = traj.copy()
+    bad[3, 0, 0] = np.nan
+    res_bad = conservation.analyze_nlse_trajectory(bad, DXY, T=0.05)
+    assert not res_bad["simulation_stable"]
+    assert np.isnan(res_bad["mass"][3])
+    assert np.isfinite(res_bad["mass"][2])
+
+
+def test_realwave_conservation_gate():
+    m = np.ones((N, N))
+    prob = problems.realwave_problem("sine_gordon", (N, N), LX, 1e-3,
+                                     m_field=m, integrator="sv",
+                                     krylov_m=8, dtype=jnp.float64)
+    x = np.linspace(-LX, LX, N)
+    u0 = 4 * np.arctan(np.exp(x[:, None] + 0 * x[None, :]))
+    u_t, v_t = problems.run(prob, prob.init(u0), 5, 10)
+    res = conservation.analyze_realwave_trajectory(
+        np.asarray(u_t), np.asarray(v_t), DXY, T=0.05, m=m)
+    assert res["simulation_stable"]
+    assert res["hamiltonian_kinetic"].shape == (5,)
+
+
+def test_log10_rel_error_floors():
+    series = np.array([1.0, 1.0, 1.0 + 1e-18, 2.0])
+    out = conservation.log10_rel_error(series, 1.0)
+    assert np.isnan(out[0])
+    assert out[1] == -16.0 and out[2] == -16.0
+    np.testing.assert_allclose(out[3], 0.0, atol=1e-12)
+
+
+def test_ensemble_sweep_over_archives(tmp_path):
+    cfg = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, krylov_m=6,
+        integrator="sv", seed=3, output_dir=str(tmp_path))
+    Datagen(cfg).run()
+
+    files = ensemble.find_h5_files(tmp_path)
+    assert len(files) == 2
+    meta = ensemble.extract_metadata(files[0])
+    assert meta["problem_type"] == "sine_gordon" and meta["dims"] == 2
+
+    results = ensemble.process_files(files, return_timeseries=True)
+    assert len(results) == 2
+    assert results[0]["num_snapshots"] == 3
+    assert not results[0]["has_nan"]
+    assert results[0]["energies"].shape == (3,)
+
+    stats = ensemble.collective_stats(results)
+    key = (2, "sine_gordon")
+    assert stats[key]["count"] == 2 and stats[key]["nan_count"] == 0
+
+    assert ensemble.find_nonfinite_runs(tmp_path) == {}
+
+
+def test_find_nonfinite_runs_flags(tmp_path):
+    u = np.ones((3, N, N))
+    u[1, 0, 0] = np.inf
+    io_hdf5.save_run(tmp_path / "bad.h5", problem_type="cubic",
+                     run_id="x", run_index=0, phenomenon="p",
+                     phenomenon_params={}, shape=(N, N), extents=(LX, LX),
+                     T=1.0, nt=10, num_snapshots=3, u0=u[0], u=u)
+    flagged = ensemble.find_nonfinite_runs(tmp_path)
+    assert list(flagged.values()) == [["u"]]
+
+
+def test_integrator_study_nlse():
+    x = np.linspace(-LX, LX, N)
+    u0 = np.exp(-(x[:, None] ** 2 + x[None, :] ** 2) / 2).astype(complex)
+    m = np.ones((N, N))
+    res = compare.integrator_study(
+        "nlse", "cubic", u0, integrators=("ss2", "sewi"),
+        nx_values=[N, N // 2], dt_values=[1e-3], T=0.02, Lx=LX,
+        m_high=m, num_snapshots=3, krylov_m=6)
+    assert len(res) == 4
+    cell = res[("ss2", N, 1e-3)]
+    assert cell["simulation_stable"] and cell["walltime"] > 0
+    diffs = compare.pairwise_solution_difference(res, ("ss2", "sewi"))
+    assert set(diffs) == {(N, 1e-3), (N // 2, 1e-3)}
+    assert all(np.isfinite(v) and v < 1e-2 for v in diffs.values())
+
+
+def test_spectral_diagnostics():
+    rng = np.random.default_rng(5)
+    x = np.linspace(-LX, LX, N)
+    plane = np.cos(2 * np.pi * 3 * x[None, :] / (2 * LX)) * np.ones((N, 1))
+    traj = np.stack([plane, plane + 0.01 * rng.standard_normal((N, N))])
+    k, spec = spectral.modal_energy_spectrum(traj)
+    assert spec.shape[0] == 2 and np.all(spec >= 0)
+    me, fe, dom = spectral.modal_decomposition_entropy(traj, *DXY)
+    # a single cosine concentrates power -> low modal entropy
+    noise_traj = rng.standard_normal((2, N, N))
+    me_noise, _, _ = spectral.modal_decomposition_entropy(noise_traj, *DXY)
+    assert me[0] < me_noise[0]
+    cent, spread = spectral.spectral_dispersion(traj, *DXY)
+    assert cent.shape == (2,) and np.all(np.isfinite(spread))
+    mi = spectral.spatiotemporal_mutual_information(
+        rng.standard_normal((6, N, N)), n_regions=2)
+    assert mi.shape == (4, 4) and np.allclose(np.diag(mi), 0)
+
+
+def test_animation_writers(tmp_path):
+    rng = np.random.default_rng(6)
+    from nlsolvers_tpu.analysis import animate
+    traj2d = rng.standard_normal((3, 16, 16))
+    p = animate.snapshot_grid(traj2d, tmp_path / "grid.png", n_frames=3)
+    assert p.exists() if hasattr(p, "exists") else True
+    out = animate.animate_2d(traj2d, str(tmp_path / "t.gif"), fps=2)
+    assert (tmp_path / "t.gif").stat().st_size > 0
+    traj3d = rng.standard_normal((2, 8, 8, 8))
+    animate.animate_3d_slices(traj3d, str(tmp_path / "t3.gif"), fps=2)
+    assert (tmp_path / "t3.gif").stat().st_size > 0
