@@ -109,40 +109,45 @@ def lanczos(matvec, u, m, reorth=True, axis_names=()):
     beta0 = gnorm(u)
     v0 = (u / beta0).astype(u.dtype)
 
-    V = jnp.zeros((m,) + u.shape, u.dtype).at[0].set(v0)
-    # Seed with a data-derived zero so that, inside shard_map over MORE axes
-    # than axis_names (e.g. a batch axis), the scan carry starts out varying
-    # over those extra axes — alpha/beta genuinely differ per batch shard.
-    vzero = jnp.zeros((), rdtype) * beta0
-    alpha = jnp.zeros((m,), rdtype) + vzero
-    beta = jnp.zeros((m,), rdtype) + vzero
-
     n = u.size
 
-    def body(j, carry):
-        V, alpha, beta = carry
-        vj = V[j]
+    # The iteration is UNROLLED over j (m <= 20 always): with a static j the
+    # full-reorthogonalization projection touches only the j+1 columns that
+    # exist so far, instead of a fixed (m, n) block where m-j-1 rows are
+    # still zero. That halves reorth HBM traffic — the dominant cost of the
+    # whole solver (SURVEY.md section 3.1's hot loop) — relative to the
+    # lax.fori_loop formulation, and lets XLA fuse per-iteration chains.
+    vs = [v0]
+    alphas = []
+    betas = []
+    w = None
+    for j in range(m - 1):
+        vj = vs[j]
         w = matvec(vj)
-        # three-term recurrence
-        w = w - jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)], 0.0) * V[jnp.maximum(j - 1, 0)]
+        if j > 0:
+            w = w - betas[j - 1] * vs[j - 1]
         a = jnp.real(vdot(vj, w)).astype(rdtype)
         w = w - a * vj
         if reorth:
-            # Full Gram-Schmidt against the whole block in two fused matvecs;
-            # columns > j are still zero and contribute nothing.
-            Vm = V.reshape(m, n)
-            proj = gsum(jnp.conj(Vm) @ w.reshape(n))     # (m,)
+            # Full Gram-Schmidt against the live columns in two fused
+            # matvecs (projection + reconstruction), the batched analogue of
+            # the reference's two-Dgemv MGS (lanczos.hpp:208-267).
+            Vm = jnp.stack([v.reshape(n) for v in vs])      # (j+1, n)
+            proj = gsum(jnp.conj(Vm) @ w.reshape(n))        # (j+1,)
             w = w - (proj @ Vm).reshape(u.shape)
         b = gnorm(w)
-        V = V.at[j + 1].set((w / b).astype(u.dtype))
-        alpha = alpha.at[j].set(a)
-        beta = beta.at[j].set(b)
-        return V, alpha, beta
+        vs.append((w / b).astype(u.dtype))
+        alphas.append(a)
+        betas.append(b)
 
-    V, alpha, beta = lax.fori_loop(0, m - 1, body, (V, alpha, beta))
+    V = jnp.stack(vs) if m > 1 else v0[None]
     # alpha[m-1] stays 0: the reference's loop never writes T(m-1, m-1) either
     # (zero-initialized, eigen_krylov_real.hpp:14,23-49), and f(T) sees that 0.
-    return V, alpha, beta[: m - 1], beta0
+    zero = jnp.zeros((), rdtype) * beta0   # data-derived zero: stays
+    # shard-varying inside shard_map over extra (e.g. batch) mesh axes.
+    alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,), rdtype)
+    beta = jnp.stack(betas) if betas else jnp.zeros((0,), rdtype)
+    return V, alpha, beta, beta0
 
 
 def tridiag_eigh(alpha, beta):

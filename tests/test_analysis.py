@@ -208,3 +208,46 @@ def test_animation_writers(tmp_path):
     traj3d = rng.standard_normal((2, 8, 8, 8))
     animate.animate_3d_slices(traj3d, str(tmp_path / "t3.gif"), fps=2)
     assert (tmp_path / "t3.gif").stat().st_size > 0
+
+
+def test_classification_features(tmp_path):
+    from nlsolvers_tpu.analysis import classify
+    rng = np.random.default_rng(7)
+    x = np.linspace(-LX, LX, N)
+    kink = 4 * np.arctan(np.exp(x[:, None] + 0.0 * x[None, :]))
+    u = np.stack([kink + 0.01 * t for t in range(4)])
+    v = 0.1 * rng.standard_normal((4, N, N))
+    f = classify.trajectory_features(u, DXY[0], DXY[1], 0.1, "sine_gordon",
+                                     v=v)
+    kin, grad, pot = f["energy"]
+    assert kin.shape == grad.shape == pot.shape == (4,)
+    assert np.all(pot > 0) and np.all(np.isfinite(grad))
+    assert f["conservation"]["norm"][0] == 1.0
+    assert f["trajectory"].shape == (4, 2)
+    assert np.isfinite(f["velocity"])
+    assert f["power_spectrum"].shape == (N, N)
+    # per-system potentials differ
+    f2 = classify.trajectory_features(u, DXY[0], DXY[1], 0.1, "phi4", v=v)
+    assert not np.allclose(f["energy"][2], f2["energy"][2])
+    with pytest.raises(ValueError):
+        classify.trajectory_features(u, DXY[0], DXY[1], 0.1, "bogus")
+    out = classify.classification_dashboard(
+        u, DXY[0], DXY[1], 0.1, "sine_gordon", tmp_path / "dash.png", v=v)
+    assert (tmp_path / "dash.png").stat().st_size > 0
+    assert out["symmetry"] <= 1.0
+
+
+def test_global_runs_analysis(tmp_path):
+    from nlsolvers_tpu.analysis import global_runs
+    cfg = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, krylov_m=6,
+        integrator="sv", seed=9, output_dir=str(tmp_path))
+    Datagen(cfg).run()
+    metrics = global_runs.analyze_all_runs(tmp_path / "hdf5", "sine_gordon")
+    assert len(metrics) == 2
+    m = next(iter(metrics.values()))
+    assert m["total_energy"].shape == (3,)
+    assert m["norm"][0] == 1.0 and np.all(np.isfinite(m["total_energy"]))
+    global_runs.global_dashboard(metrics, tmp_path / "global.png")
+    assert (tmp_path / "global.png").stat().st_size > 0
