@@ -35,6 +35,8 @@ __all__ = [
     "halo_neighbor_sum",
     "sharded_laplacian_2d",
     "sharded_neumann_2d",
+    "sharded_laplacian_3d",
+    "sharded_neumann_3d",
     "make_sharded_nlse_step",
     "make_sharded_realwave_step",
 ]
@@ -136,6 +138,118 @@ def sharded_neumann_2d(global_shape, axis_names):
     return apply
 
 
+def _global_coords_3d(local_shape, axis_names):
+    """Global (z, y, x) index arrays of the local block."""
+    lnz, lny, lnx = local_shape
+    az, ay, ax = axis_names
+    shape = (lnz, lny, lnx)
+    gz = (lax.axis_index(az) * lnz
+          + lax.broadcasted_iota(jnp.int32, shape, 0))
+    gy = (lax.axis_index(ay) * lny
+          + lax.broadcasted_iota(jnp.int32, shape, 1))
+    gx = (lax.axis_index(ax) * lnx
+          + lax.broadcasted_iota(jnp.int32, shape, 2))
+    return gz, gy, gx
+
+
+def sharded_laplacian_3d(global_shape, dx, axis_names,
+                         variant="clean", dtype=jnp.float32):
+    """Local closure for the 3D no-flux Laplacian on a (az, ay, ax)-sharded
+    grid, scaled 1/dx^2 like the reference (laplacians.hpp:105-156).
+
+    variant="clean" (diagonal = -#neighbors, no seam couplings) works under
+    any sharding. variant="reference" reproduces the cross-plane y-seam quirk
+    (SURVEY.md, ops/operators.py laplacian_3d) and is only supported when the
+    z and y mesh axes are singletons — the seam links the last y-row of each
+    z-plane to the next plane's first row, which stays shard-local only if
+    z*y is unsplit; a ValueError at trace time keeps wrong answers impossible.
+    """
+    NZ, NY, NX = global_shape
+    az, ay, ax = axis_names
+    scale = 1.0 / (dx * dx)
+
+    def apply(u):
+        lnz, lny, lnx = u.shape[-3:]
+        gz, gy, gx = _global_coords_3d((lnz, lny, lnx), axis_names)
+        boundary = ((gz == 0) | (gz == NZ - 1) | (gy == 0) | (gy == NY - 1)
+                    | (gx == 0) | (gx == NX - 1))
+        nb = (halo_neighbor_sum(u, -1, ax)
+              + halo_neighbor_sum(u, -3, az))
+        if variant == "reference":
+            if lnz != NZ or lny != NY:
+                raise ValueError(
+                    "variant='reference' 3D sharding requires unsplit z and "
+                    "y axes (the y-seam quirk is not shard-local); use "
+                    "variant='clean' or shard only gx")
+            diag = jnp.where(boundary, -5.0, -6.0).astype(dtype)
+            # y-neighbors over the merged (z*y, x) view — the reference's
+            # flat-index loop couples across plane seams (laplacians.hpp:140).
+            v = u.reshape(u.shape[:-3] + (lnz * lny, lnx))
+            nb = nb + neighbor_sum_local(v, -2).reshape(u.shape)
+        elif variant == "clean":
+            nnb = (6.0
+                   - (gz == 0) - (gz == NZ - 1)
+                   - (gy == 0) - (gy == NY - 1)
+                   - (gx == 0) - (gx == NX - 1))
+            diag = (-nnb).astype(dtype)
+            nb = nb + halo_neighbor_sum(u, -2, ay)
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
+        return (nb + diag * u) * scale
+
+    return apply
+
+
+def neighbor_sum_local(u, axis):
+    """Shard-local neighbor sum (no halo) — for merged-view seam terms."""
+    n = u.shape[axis]
+    fwd = lax.slice_in_dim(u, 1, n, axis=axis)
+    bwd = lax.slice_in_dim(u, 0, n - 1, axis=axis)
+    shape = list(u.shape)
+    shape[axis] = 1
+    z = jnp.zeros(shape, u.dtype)
+    return (jnp.concatenate([fwd, z], axis=axis)
+            + jnp.concatenate([z, bwd], axis=axis))
+
+
+def sharded_neumann_3d(global_shape, axis_names):
+    """Neumann ghost copy on a sharded 3D grid (boundaries_3d.hpp:8-31
+    semantics via where-masks; requires local blocks >= 2 in each direction).
+    """
+    NZ, NY, NX = global_shape
+
+    def apply(u):
+        lnz, lny, lnx = u.shape[-3:]
+        gz, gy, gx = _global_coords_3d((lnz, lny, lnx), axis_names)
+        int_z = (gz >= 1) & (gz <= NZ - 2)
+        int_y = (gy >= 1) & (gy <= NY - 2)
+        # Same update order as ops.boundaries.neumann_no_velocity_3d:
+        # x faces (interior y,z), y faces (interior z), z faces (all).
+        u = jnp.where((gx == 0) & int_y & int_z, u[..., :, :, 1:2], u)
+        u = jnp.where((gx == NX - 1) & int_y & int_z, u[..., :, :, -2:-1], u)
+        u = jnp.where((gy == 0) & int_z, u[..., :, 1:2, :], u)
+        u = jnp.where((gy == NY - 1) & int_z, u[..., :, -2:-1, :], u)
+        u = jnp.where(gz == 0, u[..., 1:2, :, :], u)
+        u = jnp.where(gz == NZ - 1, u[..., -2:-1, :, :], u)
+        return u
+
+    return apply
+
+
+def _sharded_lap(global_shape, dx, axis_names, variant, rdtype):
+    if len(global_shape) == 2:
+        return sharded_laplacian_2d(global_shape, dx, dx, axis_names,
+                                    variant=variant, dtype=rdtype)
+    return sharded_laplacian_3d(global_shape, dx, axis_names,
+                                variant=variant, dtype=rdtype)
+
+
+def _sharded_neumann(global_shape, axis_names):
+    if len(global_shape) == 2:
+        return sharded_neumann_2d(global_shape, axis_names)
+    return sharded_neumann_3d(global_shape, axis_names)
+
+
 def _spec(mesh_axes, batch_axis):
     if batch_axis is None:
         return P(*mesh_axes)
@@ -151,18 +265,16 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
     trajectory-batched) grid.
 
     Returns step(u_packed, m_field) -> u_packed, operating on GLOBAL arrays:
-    u_packed is (2, ny, nx) stacked real/imag (or (2, B, ny, nx) with a batch
-    axis), m_field is (ny, nx) / (B, ny, nx). Shardings follow the mesh axes.
+    u_packed is (2, *grid) stacked real/imag (or (2, B, *grid) with a batch
+    axis), m_field is (*grid) / (B, *grid). Shardings follow the mesh axes;
+    3D grids take axis_names=("gz", "gy", "gx").
     """
-    NY, NX = global_shape
-    nx = NX
+    nx = global_shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     rdtype = real_dtype_of(dtype)
-    ay, ax = axis_names
 
-    lap = sharded_laplacian_2d(global_shape, dx, dx, axis_names,
-                               variant=variant, dtype=rdtype)
-    neumann = (sharded_neumann_2d(global_shape, axis_names) if apply_bc
+    lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
+    neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
                else (lambda u: u))
 
     def local_single(u, mloc):
@@ -196,19 +308,17 @@ def make_sharded_realwave_step(kind, global_shape, Lx, dt, mesh,
                                apply_bc=True, reorth=True):
     """Builds a jitted real-wave step (Gautschi or SV) on a sharded grid.
 
-    Returns step(u, u_past, m_field) -> (u_new, u) on GLOBAL (ny, nx) arrays
-    (or (B, ny, nx) with batch_axis).
+    Returns step(u, u_past, m_field) -> (u_new, u) on GLOBAL (*grid) arrays
+    (or (B, *grid) with batch_axis); 3D takes axis_names=("gz", "gy", "gx").
     """
-    NY, NX = global_shape
-    dx = 2.0 * Lx / (NX - 1)
+    dx = 2.0 * Lx / (global_shape[-1] - 1)
     rdtype = real_dtype_of(dtype)
     g = realwave_g(kind)
     filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
 
-    lap = sharded_laplacian_2d(global_shape, dx, dx, axis_names,
-                               variant=variant, dtype=rdtype)
+    lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
     omega2 = lambda u: -lap(u)
-    neumann = (sharded_neumann_2d(global_shape, axis_names) if apply_bc
+    neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
                else (lambda u: u))
 
     def local_single(u, u_past, mloc):

@@ -70,6 +70,10 @@ def build_parser():
                         choices=["FFT", "fft", "interpolation", "none"])
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--output-dir", type=str, required=True)
+        sp.add_argument("--shard-batch", type=int, default=0,
+                        help="shard the trajectory batch over this many "
+                             "devices (-1 = all local devices, 0 = off); "
+                             "the TPU replacement for SLURM-array farming")
 
     nlse = sub.add_parser("nlse", help="complex NLSE family")
     common(nlse, NLSE_SYSTEMS, "cubic", ["ss2", "sewi", "gautschi"], "ss2")
@@ -85,6 +89,19 @@ def build_parser():
     return p
 
 
+def _batch_mesh(n):
+    if not n:
+        return None
+    import jax
+
+    from nlsolvers_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    if n < 0 or n > len(devices):
+        n = len(devices)
+    return make_mesh(("batch",), shape=(n,), devices=devices[:n])
+
+
 def config_from_args(args):
     kwargs = dict(
         family=args.family, phenomenon=args.phenomenon, system=args.system,
@@ -95,7 +112,7 @@ def config_from_args(args):
         m0=args.m0, krylov_m=args.krylov_m, dtype=args.dtype,
         variant=args.variant, dr_target=args.dr_target,
         dr_strategy=args.dr_strategy, seed=args.seed,
-        output_dir=args.output_dir)
+        output_dir=args.output_dir, mesh=_batch_mesh(args.shard_batch))
     if args.family == "nlse":
         kwargs.update(sigma1=args.sigma1, sigma2=args.sigma2,
                       kappa=args.kappa,

@@ -267,9 +267,14 @@ class Datagen:
         cfg = self.cfg
         written = []
         done = 0
+        mesh_n = int(np.prod(list(cfg.mesh.shape.values()))) \
+            if cfg.mesh is not None else 1
         while done < cfg.num_runs:
             batch = min(cfg.batch_size, cfg.num_runs - done)
-            metas, u0s, v0s, m, c = self._sample_batch(batch)
+            # A sharded batch axis must divide the mesh; pad by resampling
+            # and drop the extras when archiving.
+            pad = (-batch) % mesh_n
+            metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
             t0 = time.time()
             if cfg.family == "nlse":
                 u_traj = self._evolve_nlse(u0s, m, c)

@@ -210,3 +210,44 @@ def diverse_ensemble(draw, n_samples, similarity_threshold=0.2,
             sample = normalize(sample)
         samples.append(sample)
     return samples
+
+
+def embed_ensemble(samples, perplexity=30, n_iter=1000, random_state=42):
+    """2D t-SNE embedding of sampled ICs for diversity visualization
+    (tsne_complex_fields, nlse_sampler.py:737-748; real variant
+    real_sampler.py:1626-1640). Complex fields embed as [|u|, arg(u)]
+    features; real (u, v) tuples embed their concatenated flats."""
+    from sklearn.manifold import TSNE
+
+    features = []
+    for sample in samples:
+        parts = _flat_parts(sample)
+        flat = np.concatenate([p.ravel() for p in parts])
+        if np.iscomplexobj(flat):
+            flat = np.concatenate([np.abs(flat), np.angle(flat)])
+        features.append(flat)
+    features = np.asarray(features, np.float64)
+    perplexity = min(perplexity, max(1, len(samples) - 1))
+    # method="exact": the default Barnes-Hut C path segfaults alongside this
+    # environment's jax/OpenMP runtime; ensembles are small so exact is fine.
+    tsne = TSNE(n_components=2, perplexity=perplexity, max_iter=n_iter,
+                random_state=random_state, method="exact")
+    return tsne.fit_transform(features)
+
+
+def plot_embedding(embedding, out_path, labels=None, title="IC diversity"):
+    """Scatter plot of an ensemble embedding."""
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 6))
+    sc = ax.scatter(embedding[:, 0], embedding[:, 1],
+                    c=(labels if labels is not None else None), s=30)
+    if labels is not None:
+        fig.colorbar(sc, ax=ax, shrink=0.8)
+    ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+    return out_path

@@ -161,3 +161,60 @@ def test_cli_smoke(tmp_path):
                "--output-dir", str(tmp_path)])
     assert rc == 0
     assert len(list((tmp_path / "hdf5").glob("*.h5"))) == 1
+
+
+def test_datagen_sharded_batch(tmp_path):
+    """Batch axis sharded over an 8-device CPU mesh; pad path exercised by
+    num_runs not divisible by the mesh size."""
+    import jax
+    from nlsolvers_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("batch",), shape=(8,), devices=jax.devices()[:8])
+    cfg = DatagenConfig(
+        family="nlse", phenomenon="multi_soliton", system="cubic",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=2, num_runs=3, batch_size=3,
+        krylov_m=6, seed=21, output_dir=str(tmp_path), mesh=mesh)
+    paths = Datagen(cfg).run()
+    assert len(paths) == 3
+    out = io_hdf5.load_run(paths[-1])
+    assert np.isfinite(out["u"]).all()
+
+
+def test_cli_shard_batch(tmp_path):
+    from nlsolvers_tpu.pipeline.__main__ import main
+    rc = main(["realwave", "--phenomenon", "kink_field", "--system",
+               "sine_gordon", "--integrator", "sv", "--nx", str(N),
+               "--T", "0.01", "--nt", "8", "--snapshots", "2",
+               "--num-runs", "2", "--krylov-m", "6", "--shard-batch", "-1",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert len(list((tmp_path / "hdf5").glob("*.h5"))) == 2
+
+
+def test_ensemble_embedding(tmp_path):
+    from nlsolvers_tpu.pipeline.samplers import common
+    from nlsolvers_tpu.pipeline.samplers.nlse2d import NLSEPhenomenonSampler
+
+    samp = NLSEPhenomenonSampler(24, 24, 5.0, seed=0)
+    samples = samp.generate_ensemble(
+        "fundamental_soliton", n_samples=6,
+        parameter_ranges={"amplitude": (0.5, 2.0), "width": (0.5, 2.0),
+                          "phase": (0.0, 3.0)})
+    emb = common.embed_ensemble(samples, perplexity=3, n_iter=260)
+    assert emb.shape == (6, 2) and np.isfinite(emb).all()
+    common.plot_embedding(emb, tmp_path / "emb.png")
+    assert (tmp_path / "emb.png").stat().st_size > 0
+
+
+def test_step_timer_and_annotate():
+    import jax.numpy as jnp
+    from nlsolvers_tpu.utils import profiling
+
+    t = profiling.StepTimer()
+    x = jnp.ones((8, 8))
+    for _ in range(3):
+        with profiling.annotate("step"):
+            x = x * 1.0001
+        t.lap(x)
+    s = t.summary()
+    assert s["count"] == 3 and s["steps_per_s"] > 0

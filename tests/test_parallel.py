@@ -129,3 +129,125 @@ def test_batched_evolve_matches_sequential():
             st = prob.step(st, i + 1)
         np.testing.assert_allclose(np.asarray(snaps[b, 2]), np.asarray(st),
                                    rtol=1e-9, atol=1e-12)
+
+
+def _gauss3d(n):
+    x = np.linspace(-1, 1, n)
+    env = np.exp(-(x[:, None, None] ** 2 + x[None, :, None] ** 2
+                   + x[None, None, :] ** 2))
+    return env
+
+
+@pytest.mark.parametrize("mesh_shape,variant", [
+    ((2, 2, 2), "clean"),
+    ((1, 1, 8), "reference"),     # reference seam variant: gx-only sharding
+])
+def test_sharded_laplacian_3d_matches_single_device(mesh_shape, variant):
+    need_devices(int(np.prod(mesh_shape)))
+    from nlsolvers_tpu.ops import operators as ops
+    from jax.sharding import PartitionSpec as P
+
+    n = 16
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=mesh_shape,
+                           devices=jax.devices()[: int(np.prod(mesh_shape))])
+    u = RNG.standard_normal((n, n, n))
+    dx = 2 * LX / (n - 1)
+
+    ref = ops.laplacian_3d((n, n, n), dx, variant=variant,
+                           dtype=jnp.float64)(jnp.asarray(u))
+
+    lap = spatial.sharded_laplacian_3d((n, n, n), dx, ("gz", "gy", "gx"),
+                                       variant=variant, dtype=jnp.float64)
+    sharded = jax.jit(jax.shard_map(
+        lap, mesh=mesh, in_specs=P("gz", "gy", "gx"),
+        out_specs=P("gz", "gy", "gx")))
+    got = sharded(jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_laplacian_3d_reference_rejects_split_y():
+    need_devices(4)
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=(1, 2, 2),
+                           devices=jax.devices()[:4])
+    from jax.sharding import PartitionSpec as P
+    n = 16
+    lap = spatial.sharded_laplacian_3d((n, n, n), 0.1, ("gz", "gy", "gx"),
+                                       variant="reference")
+    f = jax.shard_map(lap, mesh=mesh, in_specs=P("gz", "gy", "gx"),
+                      out_specs=P("gz", "gy", "gx"))
+    with pytest.raises(ValueError, match="reference"):
+        f(jnp.zeros((n, n, n)))
+
+
+def test_sharded_neumann_3d_matches_single_device():
+    need_devices(8)
+    from nlsolvers_tpu.ops import boundaries as bc
+    from jax.sharding import PartitionSpec as P
+
+    n = 16
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=(2, 2, 2),
+                           devices=jax.devices()[:8])
+    u = RNG.standard_normal((n, n, n))
+    ref = bc.neumann_no_velocity_3d(jnp.asarray(u))
+    fn = spatial.sharded_neumann_3d((n, n, n), ("gz", "gy", "gx"))
+    sharded = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=P("gz", "gy", "gx"),
+        out_specs=P("gz", "gy", "gx")))
+    np.testing.assert_array_equal(np.asarray(sharded(jnp.asarray(u))),
+                                  np.asarray(ref))
+
+
+def test_sharded_nlse_step_3d_matches_single_device():
+    need_devices(8)
+    n = 16
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=(2, 2, 2),
+                           devices=jax.devices()[:8])
+    m = RNG.uniform(0.5, 1.5, (n, n, n))
+    u0 = (_gauss3d(n) * np.exp(1j * _gauss3d(n))).astype(np.complex128)
+
+    prob = problems.nlse_problem("cubic", (n, n, n), LX, DT, m_field=m,
+                                 krylov_m=6, dtype=jnp.complex128,
+                                 variant="clean")
+    ref_state = prob.init(u0)
+    for i in range(2):
+        ref_state = prob.step(ref_state, i + 1)
+
+    step = spatial.make_sharded_nlse_step(
+        "cubic", (n, n, n), LX, DT, mesh, axis_names=("gz", "gy", "gx"),
+        krylov_m=6, dtype=jnp.complex128, variant="clean")
+    up = jnp.stack([jnp.real(jnp.asarray(u0)), jnp.imag(jnp.asarray(u0))])
+    mj = jnp.asarray(m)
+    for _ in range(2):
+        up = step(up, mj)
+    got = np.asarray(up[0]) + 1j * np.asarray(up[1])
+    np.testing.assert_allclose(got, np.asarray(ref_state), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_sharded_realwave_step_3d_matches_single_device():
+    need_devices(8)
+    n = 16
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=(2, 2, 2),
+                           devices=jax.devices()[:8])
+    m = RNG.uniform(0.5, 1.5, (n, n, n))
+    u0 = _gauss3d(n)
+    v0 = 0.1 * _gauss3d(n)
+
+    prob = problems.realwave_problem(
+        "klein_gordon", (n, n, n), LX, DT, m_field=m, integrator="sv",
+        krylov_m=6, dtype=jnp.float64, variant="clean")
+    ref_state = prob.init(u0, v0)
+    for i in range(2):
+        ref_state = prob.step(ref_state, i + 1)
+
+    step = spatial.make_sharded_realwave_step(
+        "klein_gordon", (n, n, n), LX, DT, mesh,
+        axis_names=("gz", "gy", "gx"), integrator="sv", krylov_m=6,
+        dtype=jnp.float64, variant="clean")
+    u, up = jnp.asarray(u0), jnp.asarray(u0) - DT * jnp.asarray(v0)
+    mj = jnp.asarray(m)
+    for _ in range(2):
+        u, up = step(u, up, mj)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ref_state[0]),
+                               rtol=1e-10, atol=1e-12)
