@@ -92,6 +92,27 @@ def lanczos(matvec, u, m, reorth=True, axis_names=()):
     Matches the reference recurrence (eigen_krylov_real.hpp:8-55) including the
     absence of a breakdown early-exit (commented out there as well).
     """
+    vs, alphas, betas, beta0 = _lanczos_cols(matvec, u, m, reorth=reorth,
+                                             axis_names=axis_names)
+    rdtype = real_dtype_of(u.dtype)
+    V = jnp.stack(vs) if m > 1 else vs[0][None]
+    # alpha[m-1] stays 0: the reference's loop never writes T(m-1, m-1) either
+    # (zero-initialized, eigen_krylov_real.hpp:14,23-49), and f(T) sees that 0.
+    zero = jnp.zeros((), rdtype) * beta0   # data-derived zero: stays
+    # shard-varying inside shard_map over extra (e.g. batch) mesh axes.
+    alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,), rdtype)
+    beta = jnp.stack(betas) if betas else jnp.zeros((0,), rdtype)
+    return V, alpha, beta, beta0
+
+
+def _lanczos_cols(matvec, u, m, reorth=True, axis_names=()):
+    """Lanczos keeping the basis as a list of columns (no (m, n) stack).
+
+    Internal form used by matfunc_apply: the final linear combination is a
+    fused multiply-add chain over the columns, so the basis never needs to be
+    materialized as one contiguous array — at 1024^2, m=10 that saves a
+    ~160 MB/step copy (benchmarks/ab_lanczos.py).
+    """
     axis_names = tuple(axis_names)
     rdtype = real_dtype_of(u.dtype)
 
@@ -114,40 +135,43 @@ def lanczos(matvec, u, m, reorth=True, axis_names=()):
     # The iteration is UNROLLED over j (m <= 20 always): with a static j the
     # full-reorthogonalization projection touches only the j+1 columns that
     # exist so far, instead of a fixed (m, n) block where m-j-1 rows are
-    # still zero. That halves reorth HBM traffic — the dominant cost of the
-    # whole solver (SURVEY.md section 3.1's hot loop) — relative to the
-    # lax.fori_loop formulation, and lets XLA fuse per-iteration chains.
+    # still zero. The basis lives as a python list of columns; the per-
+    # iteration jnp.stack is a real copy, but A/B-measured on the v5e
+    # (benchmarks/ab_lanczos.py) it beats both a preallocated (m, n) buffer
+    # updated with .at[j].set (XLA copies the whole buffer per set: +1.4
+    # GB/step at 1024^2 m=10) and per-column vdots (2.4x slower: one
+    # reduction kernel per column).
     vs = [v0]
     alphas = []
     betas = []
-    w = None
     for j in range(m - 1):
         vj = vs[j]
-        w = matvec(vj)
+        w = matvec(vj).astype(u.dtype)
         if j > 0:
             w = w - betas[j - 1] * vs[j - 1]
-        a = jnp.real(vdot(vj, w)).astype(rdtype)
-        w = w - a * vj
         if reorth:
-            # Full Gram-Schmidt against the live columns in two fused
-            # matvecs (projection + reconstruction), the batched analogue of
-            # the reference's two-Dgemv MGS (lanczos.hpp:208-267).
+            # One fused classical-Gram-Schmidt pass: a single (j+1, n)
+            # projection matvec yields alpha (= last entry, the Rayleigh
+            # quotient v_j . w) AND the full-reorthogonalization
+            # coefficients, then one reconstruction matvec subtracts every
+            # component. Numerically this is the reference's MGS alpha-step
+            # + full reorth (lanczos.hpp:208-267) collapsed into two
+            # bandwidth-optimal passes over the live basis; the Rayleigh
+            # quotient is identical, the reorth correction agrees to
+            # rounding (tests/test_krylov.py pins both).
             Vm = jnp.stack([v.reshape(n) for v in vs])      # (j+1, n)
             proj = gsum(jnp.conj(Vm) @ w.reshape(n))        # (j+1,)
+            a = jnp.real(proj[j]).astype(rdtype)
             w = w - (proj @ Vm).reshape(u.shape)
+        else:
+            a = jnp.real(vdot(vj, w)).astype(rdtype)
+            w = w - a * vj
         b = gnorm(w)
         vs.append((w / b).astype(u.dtype))
         alphas.append(a)
         betas.append(b)
 
-    V = jnp.stack(vs) if m > 1 else v0[None]
-    # alpha[m-1] stays 0: the reference's loop never writes T(m-1, m-1) either
-    # (zero-initialized, eigen_krylov_real.hpp:14,23-49), and f(T) sees that 0.
-    zero = jnp.zeros((), rdtype) * beta0   # data-derived zero: stays
-    # shard-varying inside shard_map over extra (e.g. batch) mesh axes.
-    alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,), rdtype)
-    beta = jnp.stack(betas) if betas else jnp.zeros((0,), rdtype)
-    return V, alpha, beta, beta0
+    return vs, alphas, betas, beta0
 
 
 def tridiag_eigh(alpha, beta):
@@ -166,8 +190,12 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     redundantly per shard (it is replicated after the psums), which costs
     nothing and needs no extra communication.
     """
-    V, alpha, beta, beta0 = lanczos(matvec, u, m, reorth=reorth,
-                                    axis_names=axis_names)
+    vs, alphas, betas, beta0 = _lanczos_cols(matvec, u, m, reorth=reorth,
+                                             axis_names=axis_names)
+    rdtype = real_dtype_of(u.dtype)
+    zero = jnp.zeros((), rdtype) * beta0   # data-derived, shard-varying
+    alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,), rdtype)
+    beta = jnp.stack(betas) if betas else jnp.zeros((0,), rdtype)
     lam, Q = tridiag_eigh(alpha, beta)
     f = MATFUNCS[func] if isinstance(func, str) else func
     fvals = f(np.asarray(t), lam)   # numpy scalar: safe jit constant
@@ -175,9 +203,13 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     # m-vector algebra may promote to 64-bit (np scalar t under x64); the
     # field-sized result always stays in the state dtype — otherwise a
     # float32 scan carry silently becomes float64 mid-trajectory.
-    coef = beta0 * (Q @ (fvals * Q[0, :]))
-    out = jnp.tensordot(coef, V.reshape(m, -1), axes=1)
-    return out.reshape(u.shape).astype(u.dtype)
+    coef = (beta0 * (Q @ (fvals * Q[0, :]))).astype(u.dtype)
+    # Fused multiply-add chain over the live columns: one HBM pass, no
+    # contiguous (m, n) stack of the basis (see _lanczos_cols docstring).
+    out = coef[0] * vs[0]
+    for i in range(1, m):
+        out = out + coef[i] * vs[i]
+    return out.astype(u.dtype)
 
 
 def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True, axis_names=()):
