@@ -20,6 +20,29 @@ default_complex_dtype = jnp.complex64
 default_krylov_m = 10
 
 
+# Fused Pallas kernel dispatch for the Lanczos hot loop (ops/pallas/):
+#   "auto"      use fused kernels on TPU backends, pure XLA elsewhere
+#   "on"        always (compiled) — TPU only
+#   "interpret" always, via the Pallas interpreter (CPU tests/debugging)
+#   "off"       never
+pallas_mode = "auto"
+
+
+def pallas_dispatch():
+    """Resolve pallas_mode to (use: bool, interpret: bool) for this backend."""
+    import jax
+
+    mode = pallas_mode
+    if mode == "off":
+        return False, False
+    if mode == "interpret":
+        return True, True
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if mode == "on":
+        return True, not on_tpu
+    return on_tpu, False   # auto
+
+
 def real_dtype_of(dtype):
     """Real dtype matching a possibly-complex dtype.
 

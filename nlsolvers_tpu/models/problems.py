@@ -176,6 +176,10 @@ def realwave_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
     # Gautschi needs L = Omega^2; all reference matfuncs use |lambda| so the
     # sign is immaterial (see ops/krylov.py docstring) — we pass -Lap (PSD).
     omega2 = lambda u: -lap(u)
+    base_desc = getattr(lap, "_pallas_desc", None)
+    if base_desc is not None:
+        # sign-flipped descriptor so the fused Pallas Lanczos path applies
+        omega2._pallas_desc = dict(base_desc, sign=-base_desc["sign"])
     neumann = _neumann(shape) if apply_bc else (lambda u: u)
     filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
 

@@ -190,6 +190,9 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     redundantly per shard (it is replicated after the psums), which costs
     nothing and needs no extra communication.
     """
+    fused = _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names)
+    if fused is not None:
+        return fused
     vs, alphas, betas, beta0 = _lanczos_cols(matvec, u, m, reorth=reorth,
                                              axis_names=axis_names)
     rdtype = real_dtype_of(u.dtype)
@@ -210,6 +213,33 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     for i in range(1, m):
         out = out + coef[i] * vs[i]
     return out.astype(u.dtype)
+
+
+def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
+    """Dispatch to the fused Pallas Lanczos kernels (ops/pallas/lanczos2d)
+    when the operator carries a descriptor and the configuration allows it.
+    Returns None when the pure-XLA path should run instead. The fused path
+    always does full reorthogonalization, so reorth=False falls through."""
+    from nlsolvers_tpu.config import pallas_dispatch
+
+    desc = getattr(matvec, "_pallas_desc", None)
+    if desc is None or axis_names or not reorth or u.ndim != 2:
+        return None
+    use, interpret = pallas_dispatch()
+    if not use:
+        return None
+    from nlsolvers_tpu.ops.pallas.lanczos2d import (matfunc_apply_planar,
+                                                    supported_desc)
+    if not supported_desc(desc, u.shape, u.dtype):
+        return None
+    if u.dtype == jnp.complex64:
+        planar = jnp.stack([jnp.real(u), jnp.imag(u)])
+        out = matfunc_apply_planar(planar, desc, t, func, m,
+                                   interpret=interpret)
+        return lax.complex(out[0], out[1]).astype(u.dtype)
+    planar = u[None].astype(jnp.float32)
+    return matfunc_apply_planar(planar, desc, t, func, m,
+                                interpret=interpret)[0].astype(u.dtype)
 
 
 def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True, axis_names=()):

@@ -149,6 +149,10 @@ def laplacian_2d(shape, dx, dy, variant="reference", dtype=jnp.float32):
         nb = neighbor_sum(u, -1) + neighbor_sum(u, -2)
         return (nb + diag * u) * scale
 
+    # Static descriptor letting ops/krylov.matfunc_apply dispatch to the
+    # fused Pallas Lanczos kernels (ops/pallas/lanczos2d.py) on TPU.
+    apply._pallas_desc = dict(kind="laplacian_2d", ny=int(ny), nx=int(nx),
+                              scale=float(scale), sign=1.0, variant=variant)
     return apply
 
 

@@ -1,0 +1,324 @@
+"""Fused Pallas TPU kernels for the 2D Lanczos matrix-function hot loop.
+
+This is the TPU-native answer to the reference's fused-Lanczos attempt
+(`device/include/lanczos_complex.hpp:215-319`, `fused_lanczos_step` — written
+but commented out of the CUDA call path) and to its matfunc applicators
+(`device/include/matfunc_complex.hpp`, `matfunc_real.hpp`). Design:
+
+* State is PLANAR float32: a complex field is (2, ny, nx) (re, im planes),
+  a real field (1, ny, nx). Mosaic has no complex dtype, and the planar
+  layout keeps the 128-lane tiling on the x axis.
+* Krylov columns are stored UNNORMALIZED with their inverse norms tracked as
+  scalars. Normalization folds into the next iteration's matvec for free
+  (A(w/b) = (A w)/b) — the separate scale pass of the textbook loop (and of
+  ops/krylov.py) never touches HBM.
+* Each Lanczos iteration is exactly TWO kernel launches:
+    pass1: w = s_j * A(W_j) - beta_{j-1} s_{j-1} W_{j-1}, fused with the
+           projection dots <W_i, w> for all i <= j (classical Gram-Schmidt
+           with full reorthogonalization — same math as ops/krylov.py).
+    pass2: w' = w - sum_i q_i W_i fused with ||w'||^2.
+  The 5-point no-flux stencil (matching ops/operators.laplacian_2d, i.e.
+  `build_laplacian_noflux`, laplacians.hpp:10-52) is computed in-kernel from
+  iota masks — the diagonal costs no HBM traffic at all.
+* The (j+1)-column dot/reconstruction streams are separate input refs —
+  no (m, n) stacking, no copies. HBM traffic per step at 1024^2, m=10 is
+  ~0.9 GB vs ~2.4 GB for the pure-XLA path (benchmarks/ab_lanczos.py).
+* Cross-tile reductions use the sequential TPU grid: accumulator outputs
+  with a constant index_map stay resident in SMEM across programs.
+
+The public entry is `matfunc_apply_planar` (and the `matvec_descriptor`
+helper operators attach to their closures so ops/krylov.matfunc_apply can
+dispatch here automatically on TPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nlsolvers_tpu.ops.krylov import MATFUNCS, tridiag_eigh
+
+__all__ = ["matvec_descriptor", "matfunc_apply_planar", "supported_desc",
+           "lanczos_planar"]
+
+# Per-kernel VMEM target. The default scoped limit is 16 MB but v5e has 128
+# MB physical VMEM (empirically up to >=100 MB usable via
+# CompilerParams.vmem_limit_bytes); large row-tiles amortize DMA setup.
+_VMEM_BUDGET = 64 * 2**20
+
+
+def _compiler_params(n_streams, tile, nx, nplanes):
+    blk = nplanes * tile * nx * 4
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(3 * n_streams * blk + 4 * 2**20,
+                             110 * 2**20))
+
+
+def matvec_descriptor(kind, shape, scale, sign=1.0, variant="reference"):
+    """Static description of a stencil operator the fused kernels implement.
+
+    kind: only "laplacian_2d" for now (5-point no-flux, reference or clean
+    diagonal variant). `sign` multiplies the whole operator (real-wave
+    steppers use Omega^2 = -L, kg_driver.cpp:92-93).
+    """
+    ny, nx = shape
+    return dict(kind=kind, ny=int(ny), nx=int(nx), scale=float(scale),
+                sign=float(sign), variant=variant)
+
+
+def supported_desc(desc, u_shape, dtype):
+    """Can the fused path run this operator/field combination?"""
+    if desc is None or desc.get("kind") != "laplacian_2d":
+        return False
+    if desc.get("variant") not in ("reference", "clean"):
+        return False
+    if tuple(u_shape) != (desc["ny"], desc["nx"]):
+        return False
+    if dtype not in (jnp.complex64, jnp.float32):
+        return False
+    ny, nx = desc["ny"], desc["nx"]
+    # lane/sublane alignment: full rows stream as (tile, nx) f32 blocks
+    return nx % 128 == 0 and ny % 8 == 0 and _pick_tile(ny, nx, 12) >= 8
+
+
+def _pick_tile(ny, nx, n_streams, nplanes=2):
+    """Largest row-tile (multiple of 8, divides ny) fitting the VMEM budget
+    with double buffering across `n_streams` block streams."""
+    per_row = nplanes * nx * 4
+    best = 0
+    t = 8
+    while t <= min(ny, 512):
+        if ny % t == 0 and 2 * n_streams * t * per_row <= _VMEM_BUDGET:
+            best = t
+        t += 8
+    return best
+
+
+def _stencil(u, up_blk, dn_blk, row0, tile, ny, nx, scale, sign, variant):
+    """5-point no-flux Laplacian of a (P, tile, nx) block.
+
+    `up_blk`/`dn_blk` are the neighboring row-tiles (clamped at the grid
+    edges); out-of-grid neighbors contribute zero, matching
+    ops/operators.neighbor_sum. The diagonal is -4 (+1 on the global
+    boundary ring for variant="reference"; -(neighbor count) for "clean"),
+    generated from iota — no HBM traffic.
+    """
+    above = jnp.concatenate([up_blk[:, -1:, :], u[:, :-1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], dn_blk[:, :1, :]], axis=1)
+    rows = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
+    cols = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 2)
+    top, bot = rows == 0, rows == ny - 1
+    lft, rgt = cols == 0, cols == nx - 1
+    above = jnp.where(top, 0.0, above)
+    below = jnp.where(bot, 0.0, below)
+    zc = jnp.zeros(u.shape[:2] + (1,), u.dtype)
+    left = jnp.concatenate([zc, u[:, :, :-1]], axis=2)
+    right = jnp.concatenate([u[:, :, 1:], zc], axis=2)
+    left = jnp.where(lft, 0.0, left)
+    right = jnp.where(rgt, 0.0, right)
+    if variant == "reference":
+        diag = jnp.where(top | bot | lft | rgt, -3.0, -4.0)
+    else:   # clean: -(number of existing neighbors)
+        diag = -(4.0 - top.astype(u.dtype) - bot.astype(u.dtype)
+                 - lft.astype(u.dtype) - rgt.astype(u.dtype))
+    return (above + below + left + right + diag * u) * (scale * sign)
+
+
+def _dots(P, Wi, w):
+    """(Hermitian) inner product partials of a planar block pair: returns
+    (re, im) scalars; im == 0.0 for real fields (P == 1)."""
+    if P == 1:
+        return jnp.sum(Wi[0] * w[0]), jnp.float32(0.0)
+    re = jnp.sum(Wi[0] * w[0] + Wi[1] * w[1])
+    im = jnp.sum(Wi[0] * w[1] - Wi[1] * w[0])
+    return re, im
+
+
+def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret):
+    """pallas_call computing w = s_j A W_j - bs W_{j-1} and raw dots
+    <W_i, w> for i <= j. Inputs: scal (1,2) SMEM [s_j, bs], W_j (three
+    row-shifted streams), W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
+    grid = (ny // tile,)
+    blk = (P, tile, nx)
+    last = grid[0] - 1
+
+    def kernel(scal, c_ref, u_ref, d_ref, *rest):
+        w_out, raw_out = rest[j], rest[j + 1]
+        wrefs = rest[:j]
+        i = pl.program_id(0)
+        u = c_ref[...]
+        av = _stencil(u, u_ref[...], d_ref[...], i * tile, tile, ny, nx,
+                      scale, sign, variant)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when(i == 0)
+        def _():
+            # SMEM only takes scalar stores — zero entrywise
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = c_ref[...] if idx == j else wrefs[idx][...]
+            re, im = _dots(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    blkspec = lambda im_: pl.BlockSpec(blk, im_, memory_space=pltpu.VMEM)
+    center = lambda i: (0, i, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec(center),
+        blkspec(lambda i: (0, jnp.maximum(i - 1, 0), 0)),
+        blkspec(lambda i: (0, jnp.minimum(i + 1, last), 0)),
+    ] + [blkspec(center) for _ in range(j)]
+    out_specs = [
+        blkspec(center),
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 5, tile, nx, P),
+        interpret=interpret,
+    )
+
+
+def _pass2_call(j, P, ny, nx, tile, interpret):
+    """pallas_call computing w' = w - sum_i q_i W_i (complex coefficients)
+    fused with ||w'||^2. Inputs: q (j+1, 2) SMEM, w, W_0..W_j. Outputs:
+    w' and the squared norm (1, 1) SMEM."""
+    grid = (ny // tile,)
+    blk = (P, tile, nx)
+
+    def kernel(q, w_ref, *rest):
+        wn_out, nrm_out = rest[j + 1], rest[j + 2]
+        wrefs = rest[:j + 1]
+        i = pl.program_id(0)
+        w = w_ref[...]
+        a0 = w[0]
+        a1 = w[1] if P == 2 else None
+        for idx in range(j + 1):
+            Wi = wrefs[idx][...]
+            qr = q[idx, 0]
+            if P == 1:
+                a0 = a0 - qr * Wi[0]
+            else:
+                qi = q[idx, 1]
+                a0 = a0 - (qr * Wi[0] - qi * Wi[1])
+                a1 = a1 - (qr * Wi[1] + qi * Wi[0])
+        out = a0[None] if P == 1 else jnp.stack([a0, a1])
+        wn_out[...] = out
+
+        @pl.when(i == 0)
+        def _():
+            nrm_out[0, 0] = 0.0
+
+        nsq = jnp.sum(a0 * a0)
+        if P == 2:
+            nsq = nsq + jnp.sum(a1 * a1)
+        nrm_out[0, 0] += nsq
+
+    blkspec = pl.BlockSpec(blk, lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec,
+    ] + [blkspec for _ in range(j + 1)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        compiler_params=_compiler_params(j + 4, tile, nx, P),
+        interpret=interpret,
+    )
+
+
+def lanczos_planar(u, desc, m, interpret=False):
+    """Fused-kernel Lanczos on a planar (P, ny, nx) float32 field.
+
+    Returns (W, s, alpha, beta, beta0): unnormalized Krylov columns W (list,
+    W[i]/|W[i]| is the reference's v_i), their inverse norms s (list of
+    scalars), and the T entries — same semantics as ops/krylov.lanczos
+    (eigen_krylov_real.hpp:8-55 with full reorthogonalization).
+    """
+    P, ny, nx = u.shape
+    scale, sign, variant = desc["scale"], desc["sign"], desc["variant"]
+
+    beta0 = jnp.sqrt(jnp.sum(u * u))
+    W = [u]
+    s = [1.0 / beta0]
+    alphas, betas = [], []
+    for j in range(m - 1):
+        n_streams = j + 5   # scal is SMEM; 3 W_j streams + j dots + 1 out
+        tile = _pick_tile(ny, nx, n_streams, nplanes=P)
+        bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
+        scal = jnp.stack([s[j].astype(jnp.float32),
+                          bs.astype(jnp.float32)]).reshape(1, 2)
+        w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
+                             interpret)(scal, W[j], W[j], W[j], *W[:j])
+        sv = jnp.stack([si.astype(jnp.float32) for si in s])      # (j+1,)
+        proj = sv[:, None] * raw                                   # (j+1, 2)
+        alphas.append(proj[j, 0])
+        q = sv[:, None] * proj
+        tile2 = _pick_tile(ny, nx, j + 4, nplanes=P)
+        wn, nsq = _pass2_call(j, P, ny, nx, tile2, interpret)(q, w, *W[:j + 1])
+        b = jnp.sqrt(nsq[0, 0])
+        W.append(wn)
+        s.append(1.0 / b)
+        betas.append(b)
+    return W, s, alphas, betas, beta0
+
+
+def matfunc_apply_planar(u, desc, t, func, m, interpret=False):
+    """y = f(t * sign*scale*L) u on a planar (P, ny, nx) float32 field.
+
+    Drop-in fused equivalent of ops/krylov.matfunc_apply for operators with
+    a pallas descriptor; same function table (MATFUNCS), same T handling.
+    """
+    P = u.shape[0]
+    W, s, alphas, betas, beta0 = lanczos_planar(u, desc, m,
+                                                interpret=interpret)
+    zero = jnp.zeros((), jnp.float32) * beta0
+    alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,),
+                                                                jnp.float32)
+    beta = jnp.stack(betas) if betas else jnp.zeros((0,), jnp.float32)
+    lam, Q = tridiag_eigh(alpha, beta)
+    f = MATFUNCS[func] if isinstance(func, str) else func
+    fvals = f(np.asarray(t), lam)
+    coef = beta0 * (Q @ (fvals * Q[0, :]))     # (m,) real or complex
+    # y = sum_i coef_i v_i = sum_i (coef_i s_i) W_i — one fused MAC pass.
+    svec = [jnp.asarray(si, jnp.float32) for si in s]
+    if P == 1:
+        cr = jnp.real(coef).astype(jnp.float32)
+        out = (cr[0] * svec[0]) * W[0][0]
+        for i in range(1, m):
+            out = out + (cr[i] * svec[i]) * W[i][0]
+        return out[None]
+    cr = jnp.real(coef).astype(jnp.float32)
+    ci = jnp.imag(coef).astype(jnp.float32)
+    a, b = cr[0] * svec[0], ci[0] * svec[0]
+    y0 = a * W[0][0] - b * W[0][1]
+    y1 = a * W[0][1] + b * W[0][0]
+    for i in range(1, m):
+        a, b = cr[i] * svec[i], ci[i] * svec[i]
+        y0 = y0 + a * W[i][0] - b * W[i][1]
+        y1 = y1 + a * W[i][1] + b * W[i][0]
+    return jnp.stack([y0, y1])

@@ -1,0 +1,127 @@
+"""Fused Pallas Lanczos kernels vs the pure-XLA reference path.
+
+Runs the Pallas interpreter on CPU (tests/conftest.py forces the CPU
+backend), checking matfunc parity for complex (NLSE expm) and real
+(Gautschi trig funcs) fields, both operator variants, and the problem-level
+dispatch wiring.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nlsolvers_tpu import config
+from nlsolvers_tpu.ops import krylov, operators
+from nlsolvers_tpu.ops.pallas import lanczos2d
+
+
+@pytest.fixture
+def interp_mode():
+    old = config.pallas_mode
+    config.pallas_mode = "interpret"
+    yield
+    config.pallas_mode = old
+
+
+def _lap(n, variant="reference"):
+    dx = 2.0 * 5.0 / (n - 1)
+    return operators.laplacian_2d((n, n), dx, dx, variant=variant,
+                                  dtype=jnp.float32), dx
+
+
+def _complex_field(n, seed=0):
+    rng = np.random.default_rng(seed)
+    re = rng.standard_normal((n, n)).astype(np.float32)
+    im = rng.standard_normal((n, n)).astype(np.float32)
+    return re + 1j * im
+
+
+@pytest.mark.parametrize("variant", ["reference", "clean"])
+def test_expm_complex_matches_xla(variant):
+    n, m = 128, 8
+    lap, dx = _lap(n, variant)
+    u = jnp.asarray(_complex_field(n), jnp.complex64)
+    t = np.complex64(1j * 1e-3)
+    ref = krylov.matfunc_apply(lap, u, t, "exp", m=m)   # pure XLA (auto=off on cpu)
+    planar = jnp.stack([jnp.real(u), jnp.imag(u)])
+    out = lanczos2d.matfunc_apply_planar(planar, lap._pallas_desc, t, "exp",
+                                         m, interpret=True)
+    got = np.asarray(out[0] + 1j * out[1])
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("func", ["cos_sqrt", "sinc2_sqrt_half", "id_sqrt",
+                                  "mod_cosine"])
+def test_realwave_funcs_match_xla(func):
+    n, m = 64, 10
+    lap, dx = _lap(n)
+    omega2 = lambda v: -lap(v)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    dt = 1e-2
+    ref = krylov.matfunc_apply(omega2, u, dt, func, m=m)
+    desc = dict(lap._pallas_desc, sign=-1.0)
+    out = lanczos2d.matfunc_apply_planar(u[None], desc, dt, func, m,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_lanczos_tridiag_matches_xla():
+    n, m = 64, 10
+    lap, _ = _lap(n)
+    u = jnp.asarray(_complex_field(n, 2), jnp.complex64)
+    Vr, ar, br, b0r = krylov.lanczos(lap, u, m)
+    planar = jnp.stack([jnp.real(u), jnp.imag(u)])
+    W, s, alphas, betas, beta0 = lanczos2d.lanczos_planar(
+        planar, lap._pallas_desc, m, interpret=True)
+    np.testing.assert_allclose(float(beta0), float(b0r), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.stack(alphas)),
+                               np.asarray(ar[:-1]), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(jnp.stack(betas)),
+                               np.asarray(br), rtol=2e-3, atol=2e-3)
+    # columns match the normalized reference basis
+    for i in (1, m - 1):
+        vi = np.asarray(W[i][0] + 1j * W[i][1]) * float(s[i])
+        np.testing.assert_allclose(vi, np.asarray(Vr[i]), rtol=3e-3,
+                                   atol=3e-3)
+
+
+def test_dispatch_through_matfunc_apply(interp_mode):
+    n, m = 128, 6
+    lap, _ = _lap(n)
+    u = jnp.asarray(_complex_field(n, 3), jnp.complex64)
+    t = np.complex64(1j * 5e-4)
+    got = krylov.matfunc_apply(lap, u, t, "exp", m=m)       # pallas interpret
+    config.pallas_mode = "off"
+    ref = krylov.matfunc_apply(lap, u, t, "exp", m=m)       # pure XLA
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_dispatch_skips_unaligned_grids(interp_mode):
+    # nx=100 is not lane-aligned: must fall back to the XLA path, not crash
+    n, m = 100, 6
+    dx = 0.1
+    lap = operators.laplacian_2d((n, n), dx, dx, dtype=jnp.float32)
+    u = jnp.asarray(_complex_field(n, 4), jnp.complex64)
+    out = krylov.matfunc_apply(lap, u, np.complex64(1e-3j), "exp", m=m)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_problem_step_with_pallas(interp_mode):
+    from nlsolvers_tpu.models import problems
+
+    n = 128
+    prob = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3,
+                                 m_field=np.ones((n, n), np.float32),
+                                 krylov_m=6, dtype=jnp.complex64)
+    x = np.linspace(-5, 5, n, dtype=np.float32)
+    env = np.exp(-(x[:, None]**2 + x[None, :]**2) / 4)
+    u0 = prob.init(env.astype(np.complex64))
+    u1 = jax.jit(prob.step)(u0, 1)
+    config.pallas_mode = "off"
+    u1_ref = jax.jit(prob.step)(u0, 1)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u1_ref),
+                               rtol=2e-4, atol=2e-5)
