@@ -5,10 +5,13 @@ conservation  per-trajectory drift metrics (the accuracy gate)
 ensemble      HDF5 dataset sweeps + collective stats + NaN hunting
 compare       integrator A/B (nx x dt) studies, convergence/work-precision
 spectral      modal entropy, mutual information, dispersion diagnostics
+structure     SSIM vs reference frame, modal-energy grids, observed
+              dispersion, local conservation, persistent homology
 animate       2D/3D trajectory animation and snapshot montages
 """
 
 from nlsolvers_tpu.analysis import (compare, conservation, energy, ensemble,
-                                    spectral)
+                                    spectral, structure)
 
-__all__ = ["compare", "conservation", "energy", "ensemble", "spectral"]
+__all__ = ["compare", "conservation", "energy", "ensemble", "spectral",
+           "structure"]

@@ -1,0 +1,100 @@
+"""Tests for analysis/structure.py (perf_refactored + info_analysis ports)."""
+
+import numpy as np
+import pytest
+
+from nlsolvers_tpu.analysis import structure
+
+
+def _traj(S=6, n=32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(-1, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    frames = [np.exp(-((X - 0.05 * t) ** 2 + Y ** 2) / 0.1)
+              + 0.01 * rng.standard_normal((n, n)) for t in range(S)]
+    return np.asarray(frames)
+
+
+def test_modal_energy_grid_shape_and_peak():
+    traj = _traj()
+    me = structure.modal_energy_grid(traj, n_modes=8)
+    assert me.shape == (6, 8, 8)
+    # a smooth field concentrates power at the (centered) zero mode
+    assert me[0].argmax() == np.ravel_multi_index((4, 4), (8, 8))
+
+
+def test_ssim_self_is_one_and_decays():
+    traj = _traj()
+    s = structure.structure_similarity(traj)
+    assert s.shape == (6,)
+    assert s[0] == pytest.approx(1.0, abs=1e-9)
+    assert np.all(s <= 1.0 + 1e-12)
+    assert s[5] < s[1]          # drifting blob: similarity decays
+
+
+def test_ssim_matches_skimage_when_available():
+    skimage = pytest.importorskip("skimage.metrics")
+    traj = _traj(S=3)
+    rng = float(traj.max() - traj.min())
+    ours = structure.structure_similarity(traj)
+    theirs = [skimage.structural_similarity(
+        traj[0], traj[t], data_range=rng, gaussian_weights=True,
+        use_sample_covariance=False, sigma=1.5) for t in range(3)]
+    np.testing.assert_allclose(ours, theirs, atol=2e-3)
+
+
+def test_observed_dispersion_linear_wave():
+    # u(x, t) = cos(k0 x - w0 t): observed phase/(t dt) ~= -w0 at k0
+    n, S, dt = 64, 8, 0.05
+    L = 2 * np.pi
+    dx = L / n
+    x = np.arange(n) * dx
+    k0, w0 = 3.0, 2.0
+    traj = np.asarray([np.cos(k0 * x[None, :] - w0 * t * dt)
+                       * np.ones((n, 1)) for t in range(S)])
+    centers, mean, std, disp = structure.observed_dispersion(traj, dx, dt)
+    assert centers.shape == mean.shape == std.shape
+    assert disp.shape == (n, n)
+    # dominant modes carry phase velocity -w0 (sign convention: angle of
+    # forward ratio); check the k0 bin is populated and finite
+    assert np.isfinite(mean).all()
+
+
+def test_local_conservation_exact_for_consistent_velocity():
+    traj = _traj()
+    dt = 0.1
+    vel = np.zeros_like(traj)
+    vel[1:] = (traj[1:] - traj[:-1]) / dt
+    err = structure.local_conservation(traj, vel, dt)
+    np.testing.assert_allclose(err, 0.0, atol=1e-12)
+    assert structure.local_conservation(traj, 0 * vel, dt)[1:].min() > 0
+
+
+def test_sublevel_persistence_two_wells():
+    # two Gaussian wells of different depth: two finite/infinite classes
+    n = 48
+    x = np.linspace(-1, 1, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    f = (- 2.0 * np.exp(-((X + 0.5) ** 2 + Y ** 2) / 0.02)
+         - 1.0 * np.exp(-((X - 0.5) ** 2 + Y ** 2) / 0.02))
+    pairs = structure.sublevel_persistence(f)
+    inf_rows = pairs[np.isinf(pairs[:, 1])]
+    assert len(inf_rows) == 1                      # one connected component
+    assert inf_rows[0, 0] == pytest.approx(f.min())
+    # the shallower well is a long-lived finite class born near -1.0
+    finite = pairs[np.isfinite(pairs[:, 1])]
+    life = finite[:, 1] - finite[:, 0]
+    top = finite[np.argmax(life)]
+    assert top[0] == pytest.approx(-1.0, abs=0.05)
+    assert life.max() > 0.5
+
+
+def test_sublevel_persistence_counts_components():
+    f = np.ones((8, 8))
+    f[1, 1] = -3.0
+    f[6, 6] = -2.0
+    f[1, 6] = -1.0
+    pairs = structure.sublevel_persistence(f)
+    assert np.isinf(pairs[:, 1]).sum() == 1
+    births = sorted(pairs[:, 0])[:3]
+    np.testing.assert_allclose(births, [-3.0, -2.0, -1.0])
