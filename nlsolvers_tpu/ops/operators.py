@@ -211,6 +211,23 @@ def anisotropic_laplacian_2d(c, dx, dy):
         out = out.at[..., 1:, :].add(-fy)
         return out * scale
 
+    if c.ndim == 2:
+        # Zero-padded face weights to full (ny, nx) so the fused Pallas
+        # kernels (ops/pallas/lanczos2d.py) can stream them as aligned
+        # blocks: wx column nx-1 and wy row ny-1 are the no-flux faces.
+        ny, nx = c.shape
+        import numpy as _np
+        if isinstance(wx, _np.ndarray):
+            wx_pad = _np.zeros((ny, nx), _np.float32)
+            wx_pad[:, :nx - 1] = wx
+            wy_pad = _np.zeros((ny, nx), _np.float32)
+            wy_pad[:ny - 1, :] = wy
+        else:
+            wx_pad = jnp.pad(wx.astype(jnp.float32), ((0, 0), (0, 1)))
+            wy_pad = jnp.pad(wy.astype(jnp.float32), ((0, 1), (0, 0)))
+        apply._pallas_desc = dict(kind="aniso_laplacian_2d", ny=int(ny),
+                                  nx=int(nx), scale=float(scale), sign=1.0,
+                                  variant="aniso", wx=wx_pad, wy=wy_pad)
     return apply
 
 

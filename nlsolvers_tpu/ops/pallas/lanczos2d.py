@@ -72,9 +72,16 @@ def matvec_descriptor(kind, shape, scale, sign=1.0, variant="reference"):
 
 def supported_desc(desc, u_shape, dtype):
     """Can the fused path run this operator/field combination?"""
-    if desc is None or desc.get("kind") != "laplacian_2d":
+    if desc is None:
         return False
-    if desc.get("variant") not in ("reference", "clean"):
+    kind = desc.get("kind")
+    if kind == "laplacian_2d":
+        if desc.get("variant") not in ("reference", "clean"):
+            return False
+    elif kind == "aniso_laplacian_2d":
+        if desc.get("wx") is None or desc.get("wy") is None:
+            return False
+    else:
         return False
     if tuple(u_shape) != (desc["ny"], desc["nx"]):
         return False
@@ -128,6 +135,31 @@ def _stencil(u, up_blk, dn_blk, row0, tile, ny, nx, scale, sign, variant):
     return (above + below + left + right + diag * u) * (scale * sign)
 
 
+def _stencil_aniso(u, up_blk, dn_blk, wx, wyc, wyu, row0, tile, ny, nx,
+                   scale, sign):
+    """Finite-volume div(c grad u) of a (P, tile, nx) block.
+
+    Parity: ops/operators.anisotropic_laplacian_2d (laplacians.hpp:54-103).
+    `wx`/`wyc` are the zero-padded face weights for this row-tile, `wyu` the
+    tile above (for the i-1 face of the first row). Lu[i,j] =
+    fx[i,j] - fx[i,j-1] + fy[i,j] - fy[i-1,j] with fx = wx*(u[.,j+1]-u),
+    fy = wy*(u[i+1,.]-u); the padded zero faces kill out-of-grid fluxes.
+    """
+    zc = jnp.zeros(u.shape[:2] + (1,), u.dtype)
+    u_r = jnp.concatenate([u[:, :, 1:], zc], axis=2)      # u[., j+1]
+    fx = wx * (u_r - u)                                    # zero at j=nx-1
+    zc1 = jnp.zeros(fx.shape[:2] + (1,), fx.dtype)
+    fx_l = jnp.concatenate([zc1, fx[:, :, :-1]], axis=2)   # fx[., j-1]
+    below = jnp.concatenate([u[:, 1:, :], dn_blk[:, :1, :]], axis=1)
+    fy = wyc * (below - u)                                 # zero at i=ny-1
+    above = jnp.concatenate([up_blk[:, -1:, :], u[:, :-1, :]], axis=1)
+    wy_up = jnp.concatenate([wyu[:, -1:, :], wyc[:, :-1, :]], axis=1)
+    fy_m1 = wy_up * (u - above)                            # fy[i-1, .]
+    rows = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
+    fy_m1 = jnp.where(rows == 0, 0.0, fy_m1)   # no face above global row 0
+    return (fx - fx_l + fy - fy_m1) * (scale * sign)
+
+
 def _dots(P, Wi, w):
     """(Hermitian) inner product partials of a planar block pair: returns
     (re, im) scalars; im == 0.0 for real fields (P == 1)."""
@@ -138,21 +170,30 @@ def _dots(P, Wi, w):
     return re, im
 
 
-def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret):
+def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
+                aniso=False):
     """pallas_call computing w = s_j A W_j - bs W_{j-1} and raw dots
     <W_i, w> for i <= j. Inputs: scal (1,2) SMEM [s_j, bs], W_j (three
-    row-shifted streams), W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
+    row-shifted streams), [wx, wy, wy-up streams when anisotropic],
+    W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
     grid = (ny // tile,)
     blk = (P, tile, nx)
+    wblk = (1, tile, nx)
     last = grid[0] - 1
+    nw = 3 if aniso else 0
 
     def kernel(scal, c_ref, u_ref, d_ref, *rest):
-        w_out, raw_out = rest[j], rest[j + 1]
-        wrefs = rest[:j]
+        w_out, raw_out = rest[nw + j], rest[nw + j + 1]
+        wrefs = rest[nw:nw + j]
         i = pl.program_id(0)
         u = c_ref[...]
-        av = _stencil(u, u_ref[...], d_ref[...], i * tile, tile, ny, nx,
-                      scale, sign, variant)
+        if aniso:
+            av = _stencil_aniso(u, u_ref[...], d_ref[...], rest[0][...],
+                                rest[1][...], rest[2][...], i * tile, tile,
+                                ny, nx, scale, sign)
+        else:
+            av = _stencil(u, u_ref[...], d_ref[...], i * tile, tile, ny, nx,
+                          scale, sign, variant)
         w = scal[0, 0] * av
         if j > 0:
             w = w - scal[0, 1] * wrefs[j - 1][...]
@@ -172,13 +213,18 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret):
             raw_out[idx, 1] += im
 
     blkspec = lambda im_: pl.BlockSpec(blk, im_, memory_space=pltpu.VMEM)
+    wspec = lambda im_: pl.BlockSpec(wblk, im_, memory_space=pltpu.VMEM)
     center = lambda i: (0, i, 0)
+    up = lambda i: (0, jnp.maximum(i - 1, 0), 0)
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         blkspec(center),
-        blkspec(lambda i: (0, jnp.maximum(i - 1, 0), 0)),
+        blkspec(up),
         blkspec(lambda i: (0, jnp.minimum(i + 1, last), 0)),
-    ] + [blkspec(center) for _ in range(j)]
+    ]
+    if aniso:
+        in_specs += [wspec(center), wspec(center), wspec(up)]
+    in_specs += [blkspec(center) for _ in range(j)]
     out_specs = [
         blkspec(center),
         pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -190,7 +236,7 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret):
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((P, ny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
-        compiler_params=_compiler_params(j + 5, tile, nx, P),
+        compiler_params=_compiler_params(j + 5 + nw, tile, nx, P),
         interpret=interpret,
     )
 
@@ -261,19 +307,27 @@ def lanczos_planar(u, desc, m, interpret=False):
     """
     P, ny, nx = u.shape
     scale, sign, variant = desc["scale"], desc["sign"], desc["variant"]
+    aniso = desc["kind"] == "aniso_laplacian_2d"
+    wargs = ()
+    if aniso:
+        wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
+        wy = jnp.asarray(desc["wy"], jnp.float32).reshape(1, ny, nx)
+        wargs = (wx, wy, wy)
 
     beta0 = jnp.sqrt(jnp.sum(u * u))
     W = [u]
     s = [1.0 / beta0]
     alphas, betas = [], []
     for j in range(m - 1):
-        n_streams = j + 5   # scal is SMEM; 3 W_j streams + j dots + 1 out
+        # scal is SMEM; 3 W_j streams (+3 weights) + j dots + 1 out
+        n_streams = j + 5 + 3 * aniso
         tile = _pick_tile(ny, nx, n_streams, nplanes=P)
         bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
         scal = jnp.stack([s[j].astype(jnp.float32),
                           bs.astype(jnp.float32)]).reshape(1, 2)
         w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
-                             interpret)(scal, W[j], W[j], W[j], *W[:j])
+                             interpret, aniso=aniso)(
+            scal, W[j], W[j], W[j], *wargs, *W[:j])
         sv = jnp.stack([si.astype(jnp.float32) for si in s])      # (j+1,)
         proj = sv[:, None] * raw                                   # (j+1, 2)
         alphas.append(proj[j, 0])

@@ -125,3 +125,52 @@ def test_problem_step_with_pallas(interp_mode):
     u1_ref = jax.jit(prob.step)(u0, 1)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u1_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_aniso_expm_matches_xla():
+    n, m = 128, 8
+    dx = 2.0 * 5.0 / (n - 1)
+    rng = np.random.default_rng(7)
+    c = 1.0 + 0.5 * rng.random((n, n)).astype(np.float32)
+    lap = operators.anisotropic_laplacian_2d(c, dx, dx)
+    u = jnp.asarray(_complex_field(n, 8), jnp.complex64)
+    t = np.complex64(1j * 1e-3)
+    ref = krylov.matfunc_apply(lap, u, t, "exp", m=m)
+    planar = jnp.stack([jnp.real(u), jnp.imag(u)])
+    out = lanczos2d.matfunc_apply_planar(planar, lap._pallas_desc, t, "exp",
+                                         m, interpret=True)
+    got = np.asarray(out[0] + 1j * out[1])
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_aniso_realwave_matches_xla():
+    n, m = 64, 10
+    dx = 0.15
+    rng = np.random.default_rng(9)
+    c = 1.0 + np.sin(np.linspace(0, 3, n))[:, None] * np.ones((1, n))
+    c = c.astype(np.float32)
+    lap = operators.anisotropic_laplacian_2d(c, dx, dx)
+    omega2 = lambda v: -lap(v)
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)
+    ref = krylov.matfunc_apply(omega2, u, 1e-2, "cos_sqrt", m=m)
+    desc = dict(lap._pallas_desc, sign=-1.0)
+    out = lanczos2d.matfunc_apply_planar(u[None], desc, 1e-2, "cos_sqrt", m,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)
+
+
+def test_vmapped_pallas_dispatch(interp_mode):
+    # batched trajectories: the fused path must survive vmap
+    n, m, B = 64, 6, 3
+    lap, _ = _lap(n)
+    rng = np.random.default_rng(11)
+    ub = jnp.asarray(rng.standard_normal((B, n, n))
+                     + 1j * rng.standard_normal((B, n, n)), jnp.complex64)
+    f = jax.vmap(lambda u: krylov.matfunc_apply(lap, u, np.complex64(1e-3j),
+                                                "exp", m=m))
+    got = f(ub)
+    config.pallas_mode = "off"
+    ref = f(ub)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
