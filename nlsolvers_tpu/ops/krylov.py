@@ -223,7 +223,7 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
     from nlsolvers_tpu.config import pallas_dispatch
 
     desc = getattr(matvec, "_pallas_desc", None)
-    if desc is None or axis_names or not reorth or u.ndim != 2:
+    if desc is None or axis_names or not reorth or u.ndim not in (2, 3):
         return None
     use, interpret = pallas_dispatch()
     if not use:
@@ -232,14 +232,19 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
                                                     supported_desc)
     if not supported_desc(desc, u.shape, u.dtype):
         return None
+    # 3D fields run on the merged (nz*ny, nx) row view — the kernels handle
+    # plane seams and z-offsets natively (ops/pallas/lanczos2d._stencil_3d).
+    planar_shape = ((u.shape[0] * u.shape[1], u.shape[2]) if u.ndim == 3
+                    else u.shape)
     if u.dtype == jnp.complex64:
-        planar = jnp.stack([jnp.real(u), jnp.imag(u)])
+        planar = jnp.stack([jnp.real(u).reshape(planar_shape),
+                            jnp.imag(u).reshape(planar_shape)])
         out = matfunc_apply_planar(planar, desc, t, func, m,
                                    interpret=interpret)
-        return lax.complex(out[0], out[1]).astype(u.dtype)
-    planar = u[None].astype(jnp.float32)
-    return matfunc_apply_planar(planar, desc, t, func, m,
-                                interpret=interpret)[0].astype(u.dtype)
+        return lax.complex(out[0], out[1]).reshape(u.shape).astype(u.dtype)
+    planar = u.reshape(planar_shape)[None].astype(jnp.float32)
+    out = matfunc_apply_planar(planar, desc, t, func, m, interpret=interpret)
+    return out[0].reshape(u.shape).astype(u.dtype)
 
 
 def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True, axis_names=()):

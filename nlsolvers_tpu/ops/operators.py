@@ -185,6 +185,9 @@ def laplacian_3d(shape, dx, variant="reference", dtype=jnp.float32):
             nb = nb + neighbor_sum(u, -2)
         return (nb + diag * u) * scale
 
+    apply._pallas_desc = dict(kind="laplacian_3d", nz=int(nz), ny=int(ny),
+                              nx=int(nx), scale=float(scale), sign=1.0,
+                              variant=variant)
     return apply
 
 

@@ -81,6 +81,16 @@ def supported_desc(desc, u_shape, dtype):
     elif kind == "aniso_laplacian_2d":
         if desc.get("wx") is None or desc.get("wy") is None:
             return False
+    elif kind == "laplacian_3d":
+        if desc.get("variant") not in ("reference", "clean"):
+            return False
+        if tuple(u_shape) != (desc["nz"], desc["ny"], desc["nx"]):
+            return False
+        if dtype not in (jnp.complex64, jnp.float32):
+            return False
+        nz, ny, nx = desc["nz"], desc["ny"], desc["nx"]
+        return (nx % 128 == 0 and ny % 8 == 0
+                and _pick_tile(ny, nx, 16) >= 8)
     else:
         return False
     if tuple(u_shape) != (desc["ny"], desc["nx"]):
@@ -160,6 +170,53 @@ def _stencil_aniso(u, up_blk, dn_blk, wx, wyc, wyu, row0, tile, ny, nx,
     return (fx - fx_l + fy - fy_m1) * (scale * sign)
 
 
+def _stencil_3d(u, yup, ydn, zup, zdn, row0, tile, nz, ny, nx, scale, sign,
+                variant):
+    """7-point no-flux Laplacian on the merged (nz*ny, nx) row view.
+
+    Parity: ops/operators.laplacian_3d (`build_laplacian_noflux_3d`,
+    laplacians.hpp:105-156). In the merged view the reference's y-neighbor
+    loop IS row +-1 (including its cross-plane seam couplings), and the
+    z-neighbor is row +-ny — so `zup`/`zdn` are whole blocks at tile offset
+    +-ny/tile. variant="clean" masks the seams and uses -(neighbor count).
+    """
+    R = nz * ny
+    merged = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
+    zc_ = merged // ny
+    yc_ = merged % ny
+    cols = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 2)
+    lft, rgt = cols == 0, cols == nx - 1
+
+    above = jnp.concatenate([yup[:, -1:, :], u[:, :-1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], ydn[:, :1, :]], axis=1)
+    if variant == "reference":     # seams couple across planes
+        above = jnp.where(merged == 0, 0.0, above)
+        below = jnp.where(merged == R - 1, 0.0, below)
+    else:
+        above = jnp.where(yc_ == 0, 0.0, above)
+        below = jnp.where(yc_ == ny - 1, 0.0, below)
+
+    z_above = jnp.where(zc_ == 0, 0.0, zup[...])
+    z_below = jnp.where(zc_ == nz - 1, 0.0, zdn[...])
+
+    zcol = jnp.zeros(u.shape[:2] + (1,), u.dtype)
+    left = jnp.where(lft, 0.0, jnp.concatenate([zcol, u[:, :, :-1]], axis=2))
+    right = jnp.where(rgt, 0.0, jnp.concatenate([u[:, :, 1:], zcol], axis=2))
+
+    top3 = (zc_ == 0) | (zc_ == nz - 1)
+    ybnd = (yc_ == 0) | (yc_ == ny - 1)
+    if variant == "reference":
+        diag = jnp.where(top3 | ybnd | lft | rgt, -5.0, -6.0)
+    else:
+        cnt = jnp.zeros(merged.shape, u.dtype)
+        for mask in (zc_ == 0, zc_ == nz - 1, yc_ == 0, yc_ == ny - 1,
+                     lft, rgt):
+            cnt = cnt + mask.astype(u.dtype)
+        diag = -(6.0 - cnt)
+    nb = above + below + z_above + z_below + left + right
+    return (nb + diag * u) * (scale * sign)
+
+
 def _dots(P, Wi, w):
     """(Hermitian) inner product partials of a planar block pair: returns
     (re, im) scalars; im == 0.0 for real fields (P == 1)."""
@@ -171,29 +228,38 @@ def _dots(P, Wi, w):
 
 
 def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
-                aniso=False):
+                mode="iso2d", geom=None):
     """pallas_call computing w = s_j A W_j - bs W_{j-1} and raw dots
-    <W_i, w> for i <= j. Inputs: scal (1,2) SMEM [s_j, bs], W_j (three
-    row-shifted streams), [wx, wy, wy-up streams when anisotropic],
+    <W_i, w> for i <= j.
+
+    Inputs: scal (1,2) SMEM [s_j, bs], W_j's operator streams (row-shifted
+    blocks: 3 for 2D, 5 for 3D where `ny` is the merged nz*ny row count and
+    geom=(nz, true_ny); +3 face-weight streams when anisotropic), then
     W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
     grid = (ny // tile,)
     blk = (P, tile, nx)
     wblk = (1, tile, nx)
     last = grid[0] - 1
-    nw = 3 if aniso else 0
+    nop = {"iso2d": 3, "aniso2d": 6, "iso3d": 5}[mode]
+    if mode == "iso3d":
+        K = geom[1] // tile     # z-neighbor block offset (tile divides ny)
 
-    def kernel(scal, c_ref, u_ref, d_ref, *rest):
-        w_out, raw_out = rest[nw + j], rest[nw + j + 1]
-        wrefs = rest[nw:nw + j]
+    def kernel(scal, *rest):
+        ops_, wrefs = rest[:nop], rest[nop:nop + j]
+        w_out, raw_out = rest[nop + j], rest[nop + j + 1]
         i = pl.program_id(0)
-        u = c_ref[...]
-        if aniso:
-            av = _stencil_aniso(u, u_ref[...], d_ref[...], rest[0][...],
-                                rest[1][...], rest[2][...], i * tile, tile,
+        u = ops_[0][...]
+        if mode == "aniso2d":
+            av = _stencil_aniso(u, ops_[1][...], ops_[2][...], ops_[3][...],
+                                ops_[4][...], ops_[5][...], i * tile, tile,
                                 ny, nx, scale, sign)
+        elif mode == "iso3d":
+            av = _stencil_3d(u, ops_[1][...], ops_[2][...], ops_[3],
+                             ops_[4], i * tile, tile, geom[0], geom[1], nx,
+                             scale, sign, variant)
         else:
-            av = _stencil(u, u_ref[...], d_ref[...], i * tile, tile, ny, nx,
-                          scale, sign, variant)
+            av = _stencil(u, ops_[1][...], ops_[2][...], i * tile, tile, ny,
+                          nx, scale, sign, variant)
         w = scal[0, 0] * av
         if j > 0:
             w = w - scal[0, 1] * wrefs[j - 1][...]
@@ -207,7 +273,7 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
                 raw_out[idx, 1] = 0.0
 
         for idx in range(j + 1):
-            Wi = c_ref[...] if idx == j else wrefs[idx][...]
+            Wi = u if idx == j else wrefs[idx][...]
             re, im = _dots(P, Wi, w)
             raw_out[idx, 0] += re
             raw_out[idx, 1] += im
@@ -216,15 +282,16 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     wspec = lambda im_: pl.BlockSpec(wblk, im_, memory_space=pltpu.VMEM)
     center = lambda i: (0, i, 0)
     up = lambda i: (0, jnp.maximum(i - 1, 0), 0)
+    down = lambda i: (0, jnp.minimum(i + 1, last), 0)
+    op_specs = [blkspec(center), blkspec(up), blkspec(down)]
+    if mode == "aniso2d":
+        op_specs += [wspec(center), wspec(center), wspec(up)]
+    elif mode == "iso3d":
+        op_specs += [blkspec(lambda i: (0, jnp.maximum(i - K, 0), 0)),
+                     blkspec(lambda i: (0, jnp.minimum(i + K, last), 0))]
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        blkspec(center),
-        blkspec(up),
-        blkspec(lambda i: (0, jnp.minimum(i + 1, last), 0)),
-    ]
-    if aniso:
-        in_specs += [wspec(center), wspec(center), wspec(up)]
-    in_specs += [blkspec(center) for _ in range(j)]
+    ] + op_specs + [blkspec(center) for _ in range(j)]
     out_specs = [
         blkspec(center),
         pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
@@ -236,7 +303,7 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((P, ny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
-        compiler_params=_compiler_params(j + 5 + nw, tile, nx, P),
+        compiler_params=_compiler_params(j + 2 + nop, tile, nx, P),
         interpret=interpret,
     )
 
@@ -305,29 +372,46 @@ def lanczos_planar(u, desc, m, interpret=False):
     scalars), and the T entries — same semantics as ops/krylov.lanczos
     (eigen_krylov_real.hpp:8-55 with full reorthogonalization).
     """
-    P, ny, nx = u.shape
+    P, ny, nx = u.shape          # ny = merged nz*ny row count for 3D
     scale, sign, variant = desc["scale"], desc["sign"], desc["variant"]
-    aniso = desc["kind"] == "aniso_laplacian_2d"
-    wargs = ()
-    if aniso:
+    kind = desc["kind"]
+    geom = None
+    if kind == "aniso_laplacian_2d":
+        mode, n_op = "aniso2d", 3
         wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
         wy = jnp.asarray(desc["wy"], jnp.float32).reshape(1, ny, nx)
-        wargs = (wx, wy, wy)
+
+        def op_args(wj):
+            return (wj, wj, wj, wx, wy, wy)
+    elif kind == "laplacian_3d":
+        mode, n_op = "iso3d", 5
+        geom = (desc["nz"], desc["ny"])
+
+        def op_args(wj):
+            return (wj,) * 5
+    else:
+        mode, n_op = "iso2d", 3
+
+        def op_args(wj):
+            return (wj, wj, wj)
+
+    # row-tile must divide the true ny for the 3D z-offset trick
+    tile_div = geom[1] if geom else ny
 
     beta0 = jnp.sqrt(jnp.sum(u * u))
     W = [u]
     s = [1.0 / beta0]
     alphas, betas = [], []
     for j in range(m - 1):
-        # scal is SMEM; 3 W_j streams (+3 weights) + j dots + 1 out
-        n_streams = j + 5 + 3 * aniso
-        tile = _pick_tile(ny, nx, n_streams, nplanes=P)
+        # scal is SMEM; operator streams + weights + j dots + 1 out + slack
+        n_streams = j + 2 + n_op + 3 * (mode == "aniso2d")
+        tile = _pick_tile(tile_div, nx, n_streams, nplanes=P)
         bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
         scal = jnp.stack([s[j].astype(jnp.float32),
                           bs.astype(jnp.float32)]).reshape(1, 2)
         w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
-                             interpret, aniso=aniso)(
-            scal, W[j], W[j], W[j], *wargs, *W[:j])
+                             interpret, mode=mode, geom=geom)(
+            scal, *op_args(W[j]), *W[:j])
         sv = jnp.stack([si.astype(jnp.float32) for si in s])      # (j+1,)
         proj = sv[:, None] * raw                                   # (j+1, 2)
         alphas.append(proj[j, 0])

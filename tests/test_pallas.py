@@ -174,3 +174,45 @@ def test_vmapped_pallas_dispatch(interp_mode):
     ref = f(ub)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["reference", "clean"])
+def test_3d_expm_matches_xla(variant):
+    nz = ny = 16
+    nx, m = 128, 8
+    dx = 0.1
+    lap = operators.laplacian_3d((nz, ny, nx), dx, variant=variant,
+                                 dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    u = jnp.asarray(rng.standard_normal((nz, ny, nx))
+                    + 1j * rng.standard_normal((nz, ny, nx)), jnp.complex64)
+    t = np.complex64(1j * 1e-4)
+    ref = krylov.matfunc_apply(lap, u, t, "exp", m=m)
+    old = config.pallas_mode
+    config.pallas_mode = "interpret"
+    try:
+        got = krylov.matfunc_apply(lap, u, t, "exp", m=m)
+    finally:
+        config.pallas_mode = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_3d_realwave_matches_xla():
+    nz = ny = 16
+    nx, m = 128, 10
+    dx = 0.1
+    lap = operators.laplacian_3d((nz, ny, nx), dx, dtype=jnp.float32)
+    omega2 = lambda v: -lap(v)
+    omega2._pallas_desc = dict(lap._pallas_desc, sign=-1.0)
+    rng = np.random.default_rng(14)
+    u = jnp.asarray(rng.standard_normal((nz, ny, nx)), jnp.float32)
+    ref = krylov.matfunc_apply(omega2, u, 1e-2, "sinc2_sqrt_half", m=m)
+    old = config.pallas_mode
+    config.pallas_mode = "interpret"
+    try:
+        got = krylov.matfunc_apply(omega2, u, 1e-2, "sinc2_sqrt_half", m=m)
+    finally:
+        config.pallas_mode = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)
