@@ -115,17 +115,18 @@ def _pick_tile(ny, nx, n_streams, nplanes=2):
     return best
 
 
-def _stencil(u, up_blk, dn_blk, row0, tile, ny, nx, scale, sign, variant):
+def _stencil(u, up_row, dn_row, row0, tile, ny, nx, scale, sign, variant):
     """5-point no-flux Laplacian of a (P, tile, nx) block.
 
-    `up_blk`/`dn_blk` are the neighboring row-tiles (clamped at the grid
-    edges); out-of-grid neighbors contribute zero, matching
-    ops/operators.neighbor_sum. The diagonal is -4 (+1 on the global
-    boundary ring for variant="reference"; -(neighbor count) for "clean"),
-    generated from iota — no HBM traffic.
+    `up_row`/`dn_row` are single (P, 1, nx) halo rows (the rows just outside
+    the tile, clamped at grid edges and gathered host-side — reading whole
+    neighbor tiles would re-stream W_j 3x); out-of-grid neighbors contribute
+    zero, matching ops/operators.neighbor_sum. The diagonal is -4 (+1 on the
+    global boundary ring for variant="reference"; -(neighbor count) for
+    "clean"), generated from iota — no HBM traffic.
     """
-    above = jnp.concatenate([up_blk[:, -1:, :], u[:, :-1, :]], axis=1)
-    below = jnp.concatenate([u[:, 1:, :], dn_blk[:, :1, :]], axis=1)
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
     rows = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
     cols = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 2)
     top, bot = rows == 0, rows == ny - 1
@@ -145,25 +146,26 @@ def _stencil(u, up_blk, dn_blk, row0, tile, ny, nx, scale, sign, variant):
     return (above + below + left + right + diag * u) * (scale * sign)
 
 
-def _stencil_aniso(u, up_blk, dn_blk, wx, wyc, wyu, row0, tile, ny, nx,
-                   scale, sign):
+def _stencil_aniso(u, up_row, dn_row, wx, wyc, wy_up_row, row0, tile, ny,
+                   nx, scale, sign):
     """Finite-volume div(c grad u) of a (P, tile, nx) block.
 
     Parity: ops/operators.anisotropic_laplacian_2d (laplacians.hpp:54-103).
-    `wx`/`wyc` are the zero-padded face weights for this row-tile, `wyu` the
-    tile above (for the i-1 face of the first row). Lu[i,j] =
-    fx[i,j] - fx[i,j-1] + fy[i,j] - fy[i-1,j] with fx = wx*(u[.,j+1]-u),
-    fy = wy*(u[i+1,.]-u); the padded zero faces kill out-of-grid fluxes.
+    `wx`/`wyc` are the zero-padded face weights for this row-tile;
+    `up_row`/`dn_row`/`wy_up_row` are single halo rows (see _stencil).
+    Lu[i,j] = fx[i,j] - fx[i,j-1] + fy[i,j] - fy[i-1,j] with
+    fx = wx*(u[.,j+1]-u), fy = wy*(u[i+1,.]-u); the padded zero faces kill
+    out-of-grid fluxes.
     """
     zc = jnp.zeros(u.shape[:2] + (1,), u.dtype)
     u_r = jnp.concatenate([u[:, :, 1:], zc], axis=2)      # u[., j+1]
     fx = wx * (u_r - u)                                    # zero at j=nx-1
     zc1 = jnp.zeros(fx.shape[:2] + (1,), fx.dtype)
     fx_l = jnp.concatenate([zc1, fx[:, :, :-1]], axis=2)   # fx[., j-1]
-    below = jnp.concatenate([u[:, 1:, :], dn_blk[:, :1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
     fy = wyc * (below - u)                                 # zero at i=ny-1
-    above = jnp.concatenate([up_blk[:, -1:, :], u[:, :-1, :]], axis=1)
-    wy_up = jnp.concatenate([wyu[:, -1:, :], wyc[:, :-1, :]], axis=1)
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    wy_up = jnp.concatenate([wy_up_row, wyc[:, :-1, :]], axis=1)
     fy_m1 = wy_up * (u - above)                            # fy[i-1, .]
     rows = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
     fy_m1 = jnp.where(rows == 0, 0.0, fy_m1)   # no face above global row 0
@@ -176,9 +178,10 @@ def _stencil_3d(u, yup, ydn, zup, zdn, row0, tile, nz, ny, nx, scale, sign,
 
     Parity: ops/operators.laplacian_3d (`build_laplacian_noflux_3d`,
     laplacians.hpp:105-156). In the merged view the reference's y-neighbor
-    loop IS row +-1 (including its cross-plane seam couplings), and the
-    z-neighbor is row +-ny — so `zup`/`zdn` are whole blocks at tile offset
-    +-ny/tile. variant="clean" masks the seams and uses -(neighbor count).
+    loop IS row +-1 (including its cross-plane seam couplings, carried in
+    single halo rows `yup`/`ydn`), and the z-neighbor is row +-ny — so
+    `zup`/`zdn` are whole blocks at tile offset +-ny/tile.
+    variant="clean" masks the seams and uses -(neighbor count).
     """
     R = nz * ny
     merged = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
@@ -187,8 +190,8 @@ def _stencil_3d(u, yup, ydn, zup, zdn, row0, tile, nz, ny, nx, scale, sign,
     cols = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 2)
     lft, rgt = cols == 0, cols == nx - 1
 
-    above = jnp.concatenate([yup[:, -1:, :], u[:, :-1, :]], axis=1)
-    below = jnp.concatenate([u[:, 1:, :], ydn[:, :1, :]], axis=1)
+    above = jnp.concatenate([yup, u[:, :-1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], ydn], axis=1)
     if variant == "reference":     # seams couple across planes
         above = jnp.where(merged == 0, 0.0, above)
         below = jnp.where(merged == R - 1, 0.0, below)
@@ -232,15 +235,16 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     """pallas_call computing w = s_j A W_j - bs W_{j-1} and raw dots
     <W_i, w> for i <= j.
 
-    Inputs: scal (1,2) SMEM [s_j, bs], W_j's operator streams (row-shifted
-    blocks: 3 for 2D, 5 for 3D where `ny` is the merged nz*ny row count and
-    geom=(nz, true_ny); +3 face-weight streams when anisotropic), then
-    W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
+    Inputs: scal (1,2) SMEM [s_j, bs], W_j's operator streams (center block
+    + a (P, 2, nx) gathered-halo-rows block for 2D; 3D adds two whole-block
+    z streams where `ny` is the merged nz*ny row count and
+    geom=(nz, true_ny); anisotropic adds wx/wy blocks + a wy halo row),
+    then W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
     grid = (ny // tile,)
     blk = (P, tile, nx)
     wblk = (1, tile, nx)
     last = grid[0] - 1
-    nop = {"iso2d": 3, "aniso2d": 6, "iso3d": 5}[mode]
+    nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4}[mode]
     if mode == "iso3d":
         K = geom[1] // tile     # z-neighbor block offset (tile divides ny)
 
@@ -249,17 +253,19 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
         w_out, raw_out = rest[nop + j], rest[nop + j + 1]
         i = pl.program_id(0)
         u = ops_[0][...]
+        halo = ops_[1]
+        up_row, dn_row = halo[:, 0, 0:1, :], halo[:, 0, 1:2, :]
         if mode == "aniso2d":
-            av = _stencil_aniso(u, ops_[1][...], ops_[2][...], ops_[3][...],
-                                ops_[4][...], ops_[5][...], i * tile, tile,
-                                ny, nx, scale, sign)
+            av = _stencil_aniso(u, up_row, dn_row, ops_[2][...],
+                                ops_[3][...], ops_[4][:, 0, :, :], i * tile,
+                                tile, ny, nx, scale, sign)
         elif mode == "iso3d":
-            av = _stencil_3d(u, ops_[1][...], ops_[2][...], ops_[3],
-                             ops_[4], i * tile, tile, geom[0], geom[1], nx,
-                             scale, sign, variant)
+            av = _stencil_3d(u, up_row, dn_row, ops_[2], ops_[3], i * tile,
+                             tile, geom[0], geom[1], nx, scale, sign,
+                             variant)
         else:
-            av = _stencil(u, ops_[1][...], ops_[2][...], i * tile, tile, ny,
-                          nx, scale, sign, variant)
+            av = _stencil(u, up_row, dn_row, i * tile, tile, ny, nx, scale,
+                          sign, variant)
         w = scal[0, 0] * av
         if j > 0:
             w = w - scal[0, 1] * wrefs[j - 1][...]
@@ -281,11 +287,15 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     blkspec = lambda im_: pl.BlockSpec(blk, im_, memory_space=pltpu.VMEM)
     wspec = lambda im_: pl.BlockSpec(wblk, im_, memory_space=pltpu.VMEM)
     center = lambda i: (0, i, 0)
-    up = lambda i: (0, jnp.maximum(i - 1, 0), 0)
-    down = lambda i: (0, jnp.minimum(i + 1, last), 0)
-    op_specs = [blkspec(center), blkspec(up), blkspec(down)]
+    # halo arrays are 4D (P, nblk, rows, nx) so the block's last two dims
+    # equal the array's (Mosaic's alignment rule for sub-8 row counts)
+    halo4 = lambda i: (0, i, 0, 0)
+    halospec = pl.BlockSpec((P, 1, 2, nx), halo4, memory_space=pltpu.VMEM)
+    op_specs = [blkspec(center), halospec]
     if mode == "aniso2d":
-        op_specs += [wspec(center), wspec(center), wspec(up)]
+        op_specs += [wspec(center), wspec(center),
+                     pl.BlockSpec((1, 1, 1, nx), halo4,
+                                  memory_space=pltpu.VMEM)]
     elif mode == "iso3d":
         op_specs += [blkspec(lambda i: (0, jnp.maximum(i - K, 0), 0)),
                      blkspec(lambda i: (0, jnp.minimum(i + K, last), 0))]
@@ -377,26 +387,41 @@ def lanczos_planar(u, desc, m, interpret=False):
     kind = desc["kind"]
     geom = None
     if kind == "aniso_laplacian_2d":
-        mode, n_op = "aniso2d", 3
+        mode, n_op = "aniso2d", 3      # wx/wy blocks ~ one extra full stream
         wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
         wy = jnp.asarray(desc["wy"], jnp.float32).reshape(1, ny, nx)
-
-        def op_args(wj):
-            return (wj, wj, wj, wx, wy, wy)
     elif kind == "laplacian_3d":
-        mode, n_op = "iso3d", 5
+        mode, n_op = "iso3d", 4        # center + halo rows + 2 z streams
         geom = (desc["nz"], desc["ny"])
-
-        def op_args(wj):
-            return (wj,) * 5
     else:
-        mode, n_op = "iso2d", 3
-
-        def op_args(wj):
-            return (wj, wj, wj)
+        mode, n_op = "iso2d", 2        # center + halo rows
 
     # row-tile must divide the true ny for the 3D z-offset trick
     tile_div = geom[1] if geom else ny
+
+    def halo_rows(arr, tile, per_block=2):
+        """Gathered halo rows shaped (planes, nblk, per_block, nx): block i
+        gets global rows i*tile-1 and (i+1)*tile (clamped) — 2 rows/block
+        instead of re-streaming whole neighbor tiles (which triples W_j's
+        HBM reads)."""
+        nblk = ny // tile
+        blocks = np.arange(nblk)
+        if per_block == 1:
+            idx = np.maximum(blocks * tile - 1, 0)
+        else:
+            idx = np.empty(2 * nblk, np.int64)
+            idx[0::2] = np.maximum(blocks * tile - 1, 0)
+            idx[1::2] = np.minimum((blocks + 1) * tile, ny - 1)
+        g = jnp.take(arr, jnp.asarray(idx), axis=1)
+        return g.reshape(arr.shape[0], nblk, per_block, nx)
+
+    def op_args(wj, tile):
+        h = halo_rows(wj, tile)
+        if mode == "aniso2d":
+            return (wj, h, wx, wy, halo_rows(wy, tile, per_block=1))
+        if mode == "iso3d":
+            return (wj, h, wj, wj)
+        return (wj, h)
 
     beta0 = jnp.sqrt(jnp.sum(u * u))
     W = [u]
@@ -404,14 +429,14 @@ def lanczos_planar(u, desc, m, interpret=False):
     alphas, betas = [], []
     for j in range(m - 1):
         # scal is SMEM; operator streams + weights + j dots + 1 out + slack
-        n_streams = j + 2 + n_op + 3 * (mode == "aniso2d")
+        n_streams = j + 2 + n_op + 2 * (mode == "aniso2d")
         tile = _pick_tile(tile_div, nx, n_streams, nplanes=P)
         bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
         scal = jnp.stack([s[j].astype(jnp.float32),
                           bs.astype(jnp.float32)]).reshape(1, 2)
         w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
                              interpret, mode=mode, geom=geom)(
-            scal, *op_args(W[j]), *W[:j])
+            scal, *op_args(W[j], tile), *W[:j])
         sv = jnp.stack([si.astype(jnp.float32) for si in s])      # (j+1,)
         proj = sv[:, None] * raw                                   # (j+1, 2)
         alphas.append(proj[j, 0])
