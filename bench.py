@@ -22,10 +22,10 @@ N = 1024
 KRYLOV_M = 10
 LX = 10.0
 DT = 1e-4
-CHUNK = 500         # steps per timed jit call (amortizes the D2H readback,
+CHUNK = 2000         # steps per timed jit call (amortizes the D2H readback,
                     # which costs ~160 ms through the axon tunnel at 1024^2 —
                     # real datagen reads back only downsampled snapshots)
-REPEATS = 3
+REPEATS = 2
 
 BASELINE_STEPS_PER_SEC = 30 * 2000 / (15 * 60) * (200 / N) ** 2
 

@@ -1,13 +1,18 @@
 #!/usr/bin/env python
 """Component-level timing of the headline 1024^2 NLSE SS2 step.
 
-Breaks the step into stages to locate the HBM-bandwidth sinks:
-  pointwise : the two nonlinear half-phases only
-  matvec    : 9 bare stencil applies (the Lanczos matvec budget at m=10)
-  lanczos   : full m=10 Lanczos (matvecs + dots + full reorth), no eigh
-  eigh      : lanczos + tridiagonal eigh + linear combination
-  step      : the production ss2_step
-Each stage is looped CHUNK times inside one jit to amortize dispatch.
+Interleaved-rounds methodology (the axon tunnel drifts between processes):
+every candidate is timed in the same process, ROUNDS passes, min per
+candidate. A D2H materialization fences each timing (block_until_ready
+returns immediately on this backend).
+
+Stages:
+  identity   : fori_loop of a scalar multiply (loop + D2H floor)
+  pointwise  : the two nonlinear half-phases only
+  lanczos_pl : fused-Pallas m=10 Lanczos, no eigh/recombination
+  matfunc_pl : full fused matfunc (lanczos + eigh + recombination)
+  step_pl    : production ss2_step (fused path)
+  step_xla   : production ss2_step (pure XLA path)
 """
 
 import time
@@ -21,26 +26,13 @@ M = 10
 LX = 10.0
 DT = 1e-4
 CHUNK = 200
-
-
-def timeit(name, fn, u):
-    # axon's block_until_ready returns immediately; a device->host
-    # materialization (np.asarray) is the only reliable completion fence.
-    f = jax.jit(fn)
-    np.asarray(f(u))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(f(u))
-        ts.append(time.perf_counter() - t0)
-    per = min(ts) / CHUNK
-    print(f"{name:12s} {per*1e3:8.3f} ms/step   {1.0/per:8.1f} steps/s")
-    return per
+ROUNDS = 4
 
 
 def main():
+    from nlsolvers_tpu import config
     from nlsolvers_tpu.ops import operators
-    from nlsolvers_tpu.ops.krylov import lanczos, expm_apply
+    from nlsolvers_tpu.ops.pallas import lanczos2d
     from nlsolvers_tpu.models import nlse
     from nlsolvers_tpu.models.nonlinearities import nlse_density
     from nlsolvers_tpu.utils.complexio import pack_complex, unpack_complex
@@ -48,36 +40,66 @@ def main():
     x = np.linspace(-LX, LX, N, dtype=np.float32)
     X, Y = np.meshgrid(x, x, indexing="ij")
     env = np.exp(-(X**2 + Y**2) / 4).astype(np.float32)
-    u0p = jnp.asarray(np.stack([env * np.cos(0.5 * X), env * np.sin(0.5 * X)]))
-
+    u0p = jnp.asarray(np.stack([env * np.cos(0.5 * X),
+                                env * np.sin(0.5 * X)]))
     dx = 2 * LX / (N - 1)
     lap = operators.laplacian_2d((N, N), dx, dx, dtype=jnp.float32)
+    desc = lap._pallas_desc
     rho = nlse_density("cubic", np.ones((N, N), np.float32))
     tau = np.complex64(1j * DT)
+    interp = jax.default_backend() not in ("tpu", "axon")
 
-    def loop(body):
+    def loop_c(body):
         def fn(up):
             u = unpack_complex(up)
             u = jax.lax.fori_loop(0, CHUNK, lambda i, s: body(s), u)
             return pack_complex(u)
-        return fn
+        return jax.jit(fn)
 
-    timeit("identity", loop(lambda u: u * np.complex64(1.000001)), u0p)
-    timeit("pointwise", loop(lambda u: jnp.exp(0.5 * tau * rho(u)) * u), u0p)
-    timeit("matvec x9", loop(lambda u: jax.lax.fori_loop(
-        0, M - 1, lambda i, s: lap(s).astype(s.dtype), u)), u0p)
+    def loop_p(body):
+        def fn(up):
+            return jax.lax.fori_loop(0, CHUNK, lambda i, s: body(s), up)
+        return jax.jit(fn)
 
-    def lanczos_only(u):
-        V, a, b, b0 = lanczos(lap, u, M)
-        return (V[-1] * b0).astype(u.dtype)
+    def lanczos_only(up):
+        W, s, a, b, b0 = lanczos2d.lanczos_planar(up, desc, M,
+                                                  interpret=interp)
+        out = W[-1] * (s[-1] * b0 + jnp.stack(a).sum() + jnp.stack(b).sum())
+        return out.astype(up.dtype)
 
-    timeit("lanczos", loop(lanczos_only), u0p)
-    timeit("lancz+eigh", loop(
-        lambda u: expm_apply(lap, u, tau, m=M)), u0p)
-    timeit("ss2 step", loop(
-        lambda u: nlse.ss2_step(u, lap, rho, DT, m=M)), u0p)
-    timeit("noreorth", loop(
-        lambda u: nlse.ss2_step(u, lap, rho, DT, m=M, reorth=False)), u0p)
+    def step_xla(u):
+        config_val = nlse.ss2_step(u, lap, rho, DT, m=M)
+        return config_val
+
+    cands = {
+        "identity": loop_c(lambda u: u * np.complex64(1.000001)),
+        "pointwise": loop_c(lambda u: jnp.exp(0.5 * tau * rho(u)) * u),
+        "lanczos_pl": loop_p(lanczos_only),
+        "matfunc_pl": loop_p(lambda up: lanczos2d.matfunc_apply_planar(
+            up, desc, tau, "exp", M, interpret=interp)),
+    }
+    config.pallas_mode = "auto"
+    cands["step_pl"] = loop_c(lambda u: nlse.ss2_step(u, lap, rho, DT, m=M))
+
+    results = {}
+    args = {k: u0p for k in cands}
+    for k, f in cands.items():
+        np.asarray(f(args[k]))          # compile + warm
+    # time step_xla separately (pallas_mode is read at trace time)
+    config.pallas_mode = "off"
+    f_xla = loop_c(lambda u: nlse.ss2_step(u, lap, rho, DT, m=M))
+    np.asarray(f_xla(u0p))
+    cands["step_xla"] = f_xla
+    args["step_xla"] = u0p
+
+    best = {k: float("inf") for k in cands}
+    for r in range(ROUNDS):
+        for k, f in cands.items():
+            t0 = time.perf_counter()
+            np.asarray(f(args[k]))
+            best[k] = min(best[k], (time.perf_counter() - t0) / CHUNK)
+    for k, v in best.items():
+        print(f"{k:12s} {v*1e3:8.3f} ms/step   {1.0/v:8.1f} steps/s")
 
 
 if __name__ == "__main__":

@@ -27,6 +27,14 @@ default_krylov_m = 10
 #   "off"       never
 pallas_mode = "auto"
 
+# Single-kernel VMEM-resident SS2 step (ops/pallas/resident2d.py).
+# Default OFF: measured on v5e, Mosaic reaches only ~220 GB/s on resident
+# full-array VMEM access (vs ~600+ GB/s achieved by the pipelined streaming
+# kernels), so the resident kernel is SLOWER (574 vs 914 steps/s at 1024^2)
+# despite ~40x less HBM traffic. Kept as an opt-in ("auto") for future
+# Mosaic codegen and for parts where HBM is genuinely the wall.
+resident_mode = "off"
+
 
 def pallas_dispatch():
     """Resolve pallas_mode to (use: bool, interpret: bool) for this backend."""

@@ -75,6 +75,46 @@ def _neumann(shape):
             else bc.neumann_no_velocity_3d)
 
 
+def _resident_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
+                  kappa, apply_bc, dtype, integrator, c_field, reorth):
+    """(step, init, observe) using the single-kernel VMEM-resident SS2 step
+    (ops/pallas/resident2d.py) when the configuration qualifies, else None.
+    The step keeps the problem's complex-state contract; the planar
+    conversion around the kernel costs ~4% of the step.
+    """
+    from nlsolvers_tpu import config as _cfg
+    from nlsolvers_tpu.config import pallas_dispatch
+
+    if _cfg.resident_mode == "off":
+        return None
+    if (integrator != "ss2" or len(shape) != 2 or c_field is not None
+            or dtype != jnp.complex64 or not reorth):
+        return None
+    use, interpret = pallas_dispatch()
+    if not use:
+        return None
+    desc = getattr(lap, "_pallas_desc", None)
+    from nlsolvers_tpu.ops.pallas.resident2d import (ss2_resident_step,
+                                                     supported_resident)
+    if not supported_resident(desc, shape, dtype, krylov_m, dt):
+        return None
+    mf32 = np.asarray(m_field, np.float32)
+
+    def step(state, i):
+        del i
+        planar = jnp.stack([jnp.real(state), jnp.imag(state)]).astype(
+            jnp.float32)
+        out = ss2_resident_step(planar, mf32, desc, dt, krylov_m, kind=kind,
+                                sigma1=sigma1, sigma2=sigma2, kappa=kappa,
+                                apply_bc=apply_bc, interpret=interpret)
+        return lax.complex(out[0], out[1]).astype(dtype)
+
+    def init(u0):
+        return jnp.asarray(u0, dtype)
+
+    return step, init, (lambda s: s)
+
+
 def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
                  sigma1=1.0, sigma2=-0.1, kappa=1.0, integrator="ss2",
                  krylov_m=None, dtype=default_complex_dtype,
@@ -106,7 +146,12 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
     rho = nlse_density(kind, m_field, sigma1=sigma1, sigma2=sigma2, kappa=kappa)
     neumann = _neumann(shape) if apply_bc else (lambda u: u)
 
-    if integrator == "ss2":
+    resident = _resident_ss2(kind, shape, dt, krylov_m, lap, m_field,
+                             sigma1, sigma2, kappa, apply_bc, dtype,
+                             integrator, c_field, reorth)
+    if resident is not None:
+        step, init, observe = resident
+    elif integrator == "ss2":
         def step(state, i):
             del i
             u = nlse_mod.ss2_step(state, lap, rho, dt, m=krylov_m,
