@@ -50,6 +50,13 @@ __all__ = ["matvec_descriptor", "matfunc_apply_planar", "supported_desc",
 # CompilerParams.vmem_limit_bytes); large row-tiles amortize DMA setup.
 _VMEM_BUDGET = 64 * 2**20
 
+# Single-kernel Lanczos iterations (_iter_call) hold w as full-field VMEM
+# scratch, eliminating its 16 MB/iter HBM round-trip — but measured SLOWER
+# on v5e (834 vs 914 steps/s at 1024^2): Mosaic's full-array VMEM scratch
+# access doesn't pipeline like streamed blocks (same finding as
+# resident2d.py). Off by default; kept for future codegen.
+_FUSED_ITER = False
+
 
 def _compiler_params(n_streams, tile, nx, nplanes):
     blk = nplanes * tile * nx * 4
@@ -318,6 +325,148 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     )
 
 
+def _iter_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
+               mode="iso2d", geom=None):
+    """Whole Lanczos iteration j in ONE kernel: grid (2, nblk), phase-major.
+
+    Phase 0 (= _pass1_call) writes w into a persistent full-field VMEM
+    scratch and accumulates the projection dots in SMEM; phase 1
+    (= _pass2_call) computes q = s_i^2 * raw in-kernel from that SMEM
+    accumulator, subtracts the projections from the scratch tile, and emits
+    W_{j+1} + ||w'||^2. Eliminates the 16 MB/iteration HBM round-trip of the
+    w intermediate and halves kernel launches. Inputs: scal (1, j+3) SMEM
+    [s_j, beta*s_{j-1}, s_0..s_j], operator streams, W_0..W_{j-1}.
+    Outputs: W_{j+1}, raw (j+1, 2) SMEM, norm^2 (1, 1) SMEM.
+
+    Phase-inactive streams (halos, weights, z-blocks) collapse their index
+    maps to block 0 during the other phase so nothing is re-fetched; the
+    W_{j+1} output maps every phase-0 step to block 0, so the only HBM
+    write-backs are phase 1's real tiles (plus one overwritten dummy).
+    """
+    nblk = ny // tile
+    grid = (2, nblk)
+    blk = (P, tile, nx)
+    wblk = (1, tile, nx)
+    last = nblk - 1
+    nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4}[mode]
+    if mode == "iso3d":
+        K = geom[1] // tile
+
+    def kernel(scal, *rest):
+        ops_, wrefs = rest[:nop], rest[nop:nop + j]
+        wn_out, raw_out, nrm_out = (rest[nop + j], rest[nop + j + 1],
+                                    rest[nop + j + 2])
+        scr = rest[nop + j + 3]
+        p = pl.program_id(0)
+        i = pl.program_id(1)
+        u = ops_[0][...]
+
+        @pl.when(p == 0)
+        def _phase1():
+            halo = ops_[1]
+            up_row, dn_row = halo[:, 0, 0:1, :], halo[:, 0, 1:2, :]
+            if mode == "aniso2d":
+                av = _stencil_aniso(u, up_row, dn_row, ops_[2][...],
+                                    ops_[3][...], ops_[4][:, 0, :, :],
+                                    i * tile, tile, ny, nx, scale, sign)
+            elif mode == "iso3d":
+                av = _stencil_3d(u, up_row, dn_row, ops_[2], ops_[3],
+                                 i * tile, tile, geom[0], geom[1], nx,
+                                 scale, sign, variant)
+            else:
+                av = _stencil(u, up_row, dn_row, i * tile, tile, ny, nx,
+                              scale, sign, variant)
+            w = scal[0, 0] * av
+            if j > 0:
+                w = w - scal[0, 1] * wrefs[j - 1][...]
+            scr[:, pl.ds(i * tile, tile), :] = w
+
+            @pl.when(i == 0)
+            def _():
+                for idx in range(j + 1):
+                    raw_out[idx, 0] = 0.0
+                    raw_out[idx, 1] = 0.0
+
+            for idx in range(j + 1):
+                Wi = u if idx == j else wrefs[idx][...]
+                re, im = _dots(P, Wi, w)
+                raw_out[idx, 0] += re
+                raw_out[idx, 1] += im
+
+        @pl.when(p == 1)
+        def _phase2():
+            w = scr[:, pl.ds(i * tile, tile), :]
+            a0 = w[0]
+            a1 = w[1] if P == 2 else None
+            for idx in range(j + 1):
+                si = scal[0, 2 + idx]
+                qr = si * si * raw_out[idx, 0]
+                Wi = u if idx == j else wrefs[idx][...]
+                if P == 1:
+                    a0 = a0 - qr * Wi[0]
+                else:
+                    qi = si * si * raw_out[idx, 1]
+                    a0 = a0 - (qr * Wi[0] - qi * Wi[1])
+                    a1 = a1 - (qr * Wi[1] + qi * Wi[0])
+            wn_out[...] = a0[None] if P == 1 else jnp.stack([a0, a1])
+
+            @pl.when(i == 0)
+            def _():
+                nrm_out[0, 0] = 0.0
+
+            nsq = jnp.sum(a0 * a0)
+            if P == 2:
+                nsq = nsq + jnp.sum(a1 * a1)
+            nrm_out[0, 0] += nsq
+
+    blkspec = lambda im_: pl.BlockSpec(blk, im_, memory_space=pltpu.VMEM)
+    center = lambda p, i: (0, i, 0)
+    p0 = lambda p, i: jnp.where(p == 0, i, 0)      # fetched in phase 0 only
+    halospec = pl.BlockSpec((P, 1, 2, nx), lambda p, i: (0, p0(p, i), 0, 0),
+                            memory_space=pltpu.VMEM)
+    op_specs = [blkspec(center), halospec]
+    if mode == "aniso2d":
+        wmap = lambda p, i: (0, p0(p, i), 0)
+        op_specs += [pl.BlockSpec(wblk, wmap, memory_space=pltpu.VMEM),
+                     pl.BlockSpec(wblk, wmap, memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, 1, 1, nx),
+                                  lambda p, i: (0, p0(p, i), 0, 0),
+                                  memory_space=pltpu.VMEM)]
+    elif mode == "iso3d":
+        op_specs += [
+            blkspec(lambda p, i: (0, jnp.where(p == 0,
+                                               jnp.maximum(i - K, 0), 0), 0)),
+            blkspec(lambda p, i: (0, jnp.where(p == 0,
+                                               jnp.minimum(i + K, last), 0),
+                                  0)),
+        ]
+    in_specs = [
+        pl.BlockSpec((1, j + 3), lambda p, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ] + op_specs + [blkspec(center) for _ in range(j)]
+    out_specs = [
+        blkspec(lambda p, i: (0, jnp.where(p == 0, 0, i), 0)),
+        pl.BlockSpec((j + 1, 2), lambda p, i: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda p, i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P, ny, nx), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                3 * (j + 3 + nop) * P * tile * nx * 4
+                + P * ny * nx * 4 + 8 * 2**20, 120 * 2**20)),
+        interpret=interpret,
+    )
+
+
 def _pass2_call(j, P, ny, nx, tile, interpret):
     """pallas_call computing w' = w - sum_i q_i W_i (complex coefficients)
     fused with ||w'||^2. Inputs: q (j+1, 2) SMEM, w, W_0..W_j. Outputs:
@@ -423,6 +572,8 @@ def lanczos_planar(u, desc, m, interpret=False):
             return (wj, h, wj, wj)
         return (wj, h)
 
+    fused_iter = _FUSED_ITER and P * ny * nx * 4 <= 32 * 2**20
+
     beta0 = jnp.sqrt(jnp.sum(u * u))
     W = [u]
     s = [1.0 / beta0]
@@ -432,17 +583,29 @@ def lanczos_planar(u, desc, m, interpret=False):
         n_streams = j + 2 + n_op + 2 * (mode == "aniso2d")
         tile = _pick_tile(tile_div, nx, n_streams, nplanes=P)
         bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
-        scal = jnp.stack([s[j].astype(jnp.float32),
-                          bs.astype(jnp.float32)]).reshape(1, 2)
-        w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
-                             interpret, mode=mode, geom=geom)(
-            scal, *op_args(W[j], tile), *W[:j])
-        sv = jnp.stack([si.astype(jnp.float32) for si in s])      # (j+1,)
-        proj = sv[:, None] * raw                                   # (j+1, 2)
-        alphas.append(proj[j, 0])
-        q = sv[:, None] * proj
-        tile2 = _pick_tile(ny, nx, j + 4, nplanes=P)
-        wn, nsq = _pass2_call(j, P, ny, nx, tile2, interpret)(q, w, *W[:j + 1])
+        if fused_iter:
+            scal = jnp.stack([s[j].astype(jnp.float32),
+                              bs.astype(jnp.float32)]
+                             + [si.astype(jnp.float32) for si in s]
+                             ).reshape(1, j + 3)
+            wn, raw, nsq = _iter_call(j, P, ny, nx, tile, scale, sign,
+                                      variant, interpret, mode=mode,
+                                      geom=geom)(
+                scal, *op_args(W[j], tile), *W[:j])
+            alphas.append(s[j].astype(jnp.float32) * raw[j, 0])
+        else:
+            scal = jnp.stack([s[j].astype(jnp.float32),
+                              bs.astype(jnp.float32)]).reshape(1, 2)
+            w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
+                                 interpret, mode=mode, geom=geom)(
+                scal, *op_args(W[j], tile), *W[:j])
+            sv = jnp.stack([si.astype(jnp.float32) for si in s])  # (j+1,)
+            proj = sv[:, None] * raw                               # (j+1, 2)
+            alphas.append(proj[j, 0])
+            q = sv[:, None] * proj
+            tile2 = _pick_tile(ny, nx, j + 4, nplanes=P)
+            wn, nsq = _pass2_call(j, P, ny, nx, tile2, interpret)(
+                q, w, *W[:j + 1])
         b = jnp.sqrt(nsq[0, 0])
         W.append(wn)
         s.append(1.0 / b)

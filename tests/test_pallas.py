@@ -216,3 +216,20 @@ def test_3d_realwave_matches_xla():
         config.pallas_mode = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-5)
+
+
+def test_fused_iter_kernel_matches(monkeypatch):
+    # the single-kernel-per-iteration path (off by default on v5e)
+    monkeypatch.setattr(lanczos2d, "_FUSED_ITER", True)
+    n, m = 128, 8
+    lap, _ = _lap(n)
+    u = jnp.asarray(_complex_field(n, 21), jnp.complex64)
+    t = np.complex64(1j * 1e-3)
+    planar = jnp.stack([jnp.real(u), jnp.imag(u)])
+    got = lanczos2d.matfunc_apply_planar(planar, lap._pallas_desc, t, "exp",
+                                         m, interpret=True)
+    monkeypatch.setattr(lanczos2d, "_FUSED_ITER", False)
+    ref = lanczos2d.matfunc_apply_planar(planar, lap._pallas_desc, t, "exp",
+                                         m, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
