@@ -281,6 +281,47 @@ def anisotropic_laplacian_3d(c, dx, variant="reference"):
 
         return out * scale
 
+    if c.ndim == 3:
+        # Zero-padded face weights on the merged (nz*ny, nx) row view for
+        # the fused Pallas kernels: x faces pad col nx-1; merged-row faces
+        # (the reference's y+seam couplings, or plane-local y for "clean")
+        # pad their no-flux rows; z faces pad the z = nz-1 rows. All
+        # boundary/seam structure lives in the weights — one kernel serves
+        # both variants.
+        R = nz * ny
+        import numpy as _np
+        xp = _np if isinstance(wx, _np.ndarray) else jnp
+        cm = c.reshape(R, nx)
+        if xp is _np:
+            wx_pad = _np.zeros((R, nx), _np.float32)
+            wx_pad[:, :nx - 1] = wx.reshape(R, nx - 1)
+            wym_pad = _np.zeros((R, nx), _np.float32)
+            if variant == "reference":
+                wym_pad[:R - 1] = 0.5 * (cm[:-1] + cm[1:])
+            else:
+                wyv = wy.reshape(nz, ny - 1, nx)
+                wym_pad.reshape(nz, ny, nx)[:, :ny - 1] = wyv
+            wz_pad = _np.zeros((R, nx), _np.float32)
+            wz_pad[:R - ny] = 0.5 * (cm[:R - ny] + cm[ny:])
+        else:
+            wx_pad = jnp.pad(wx.reshape(R, nx - 1).astype(jnp.float32),
+                             ((0, 0), (0, 1)))
+            if variant == "reference":
+                wym_pad = jnp.pad(
+                    0.5 * (cm[:-1] + cm[1:]).astype(jnp.float32),
+                    ((0, 1), (0, 0)))
+            else:
+                wym_pad = jnp.pad(
+                    wy.reshape(nz, ny - 1, nx).astype(jnp.float32),
+                    ((0, 0), (0, 1), (0, 0))).reshape(R, nx)
+            wz_pad = jnp.pad(
+                0.5 * (cm[:R - ny] + cm[ny:]).astype(jnp.float32),
+                ((0, ny), (0, 0)))
+        apply._pallas_desc = dict(kind="aniso_laplacian_3d", nz=int(nz),
+                                  ny=int(ny), nx=int(nx),
+                                  scale=float(scale), sign=1.0,
+                                  variant="aniso", wx=wx_pad, wy=wym_pad,
+                                  wz=wz_pad)
     return apply
 
 

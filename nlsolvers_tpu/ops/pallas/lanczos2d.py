@@ -88,8 +88,11 @@ def supported_desc(desc, u_shape, dtype):
     elif kind == "aniso_laplacian_2d":
         if desc.get("wx") is None or desc.get("wy") is None:
             return False
-    elif kind == "laplacian_3d":
-        if desc.get("variant") not in ("reference", "clean"):
+    elif kind in ("laplacian_3d", "aniso_laplacian_3d"):
+        if kind == "laplacian_3d":
+            if desc.get("variant") not in ("reference", "clean"):
+                return False
+        elif desc.get("wx") is None or desc.get("wz") is None:
             return False
         if tuple(u_shape) != (desc["nz"], desc["ny"], desc["nx"]):
             return False
@@ -227,6 +230,34 @@ def _stencil_3d(u, yup, ydn, zup, zdn, row0, tile, nz, ny, nx, scale, sign,
     return (nb + diag * u) * (scale * sign)
 
 
+def _stencil_aniso_3d(u, up_row, dn_row, zup, zdn, wx, wym, wym_up_row,
+                      wz, wz_up, row0, tile, nz, ny, nx, scale, sign):
+    """Finite-volume div(c grad u) on the merged (nz*ny, nx) row view.
+
+    Parity: ops/operators.anisotropic_laplacian_3d (laplacians.hpp:158-218).
+    All face weights arrive zero-padded on their no-flux faces (see
+    operators.anisotropic_laplacian_3d), so boundary AND plane-seam
+    structure (reference vs clean variant) is already baked in — the kernel
+    only masks the two halo-clamp artifacts (merged row 0, z plane 0).
+    `zup`/`zdn`/`wz_up` are whole blocks at tile offset +-ny/tile.
+    """
+    merged = lax.broadcasted_iota(jnp.int32, (1, tile, nx), 1) + row0
+    zc_ = merged // ny
+    zcol = jnp.zeros(u.shape[:2] + (1,), u.dtype)
+    u_r = jnp.concatenate([u[:, :, 1:], zcol], axis=2)
+    fx = wx * (u_r - u)                                    # 0 at col nx-1
+    zc1 = jnp.zeros(fx.shape[:2] + (1,), fx.dtype)
+    fx_l = jnp.concatenate([zc1, fx[:, :, :-1]], axis=2)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
+    fy = wym * (below - u)                                 # 0 at padded rows
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    wym_up = jnp.concatenate([wym_up_row, wym[:, :-1, :]], axis=1)
+    fy_m1 = jnp.where(merged == 0, 0.0, wym_up * (u - above))
+    fz = wz * (zdn[...] - u)                               # 0 at z = nz-1
+    fz_m = jnp.where(zc_ == 0, 0.0, wz_up[...] * (u - zup[...]))
+    return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+
+
 def _dots(P, Wi, w):
     """(Hermitian) inner product partials of a planar block pair: returns
     (re, im) scalars; im == 0.0 for real fields (P == 1)."""
@@ -251,8 +282,8 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     blk = (P, tile, nx)
     wblk = (1, tile, nx)
     last = grid[0] - 1
-    nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4}[mode]
-    if mode == "iso3d":
+    nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4, "aniso3d": 9}[mode]
+    if mode in ("iso3d", "aniso3d"):
         K = geom[1] // tile     # z-neighbor block offset (tile divides ny)
 
     def kernel(scal, *rest):
@@ -270,6 +301,12 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
             av = _stencil_3d(u, up_row, dn_row, ops_[2], ops_[3], i * tile,
                              tile, geom[0], geom[1], nx, scale, sign,
                              variant)
+        elif mode == "aniso3d":
+            av = _stencil_aniso_3d(u, up_row, dn_row, ops_[2], ops_[3],
+                                   ops_[4][...], ops_[5][...],
+                                   ops_[6][:, 0, :, :], ops_[7][...],
+                                   ops_[8], i * tile, tile, geom[0],
+                                   geom[1], nx, scale, sign)
         else:
             av = _stencil(u, up_row, dn_row, i * tile, tile, ny, nx, scale,
                           sign, variant)
@@ -306,6 +343,14 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     elif mode == "iso3d":
         op_specs += [blkspec(lambda i: (0, jnp.maximum(i - K, 0), 0)),
                      blkspec(lambda i: (0, jnp.minimum(i + K, last), 0))]
+    elif mode == "aniso3d":
+        zup = lambda i: (0, jnp.maximum(i - K, 0), 0)
+        zdn = lambda i: (0, jnp.minimum(i + K, last), 0)
+        op_specs += [blkspec(zup), blkspec(zdn),
+                     wspec(center), wspec(center),
+                     pl.BlockSpec((1, 1, 1, nx), halo4,
+                                  memory_space=pltpu.VMEM),
+                     wspec(center), wspec(zup)]
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ] + op_specs + [blkspec(center) for _ in range(j)]
@@ -542,6 +587,12 @@ def lanczos_planar(u, desc, m, interpret=False):
     elif kind == "laplacian_3d":
         mode, n_op = "iso3d", 4        # center + halo rows + 2 z streams
         geom = (desc["nz"], desc["ny"])
+    elif kind == "aniso_laplacian_3d":
+        mode, n_op = "aniso3d", 9
+        geom = (desc["nz"], desc["ny"])
+        wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
+        wym = jnp.asarray(desc["wy"], jnp.float32).reshape(1, ny, nx)
+        wz = jnp.asarray(desc["wz"], jnp.float32).reshape(1, ny, nx)
     else:
         mode, n_op = "iso2d", 2        # center + halo rows
 
@@ -570,6 +621,9 @@ def lanczos_planar(u, desc, m, interpret=False):
             return (wj, h, wx, wy, halo_rows(wy, tile, per_block=1))
         if mode == "iso3d":
             return (wj, h, wj, wj)
+        if mode == "aniso3d":
+            return (wj, h, wj, wj, wx, wym,
+                    halo_rows(wym, tile, per_block=1), wz, wz)
         return (wj, h)
 
     fused_iter = _FUSED_ITER and P * ny * nx * 4 <= 32 * 2**20

@@ -233,3 +233,25 @@ def test_fused_iter_kernel_matches(monkeypatch):
                                          m, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("variant", ["reference", "clean"])
+def test_aniso_3d_expm_matches_xla(variant):
+    nz = ny = 16
+    nx, m = 128, 8
+    dx = 0.1
+    rng = np.random.default_rng(23)
+    c = (1.0 + 0.4 * rng.random((nz, ny, nx))).astype(np.float32)
+    lap = operators.anisotropic_laplacian_3d(c, dx, variant=variant)
+    u = jnp.asarray(rng.standard_normal((nz, ny, nx))
+                    + 1j * rng.standard_normal((nz, ny, nx)), jnp.complex64)
+    t = np.complex64(1j * 1e-4)
+    ref = krylov.matfunc_apply(lap, u, t, "exp", m=m)
+    old = config.pallas_mode
+    config.pallas_mode = "interpret"
+    try:
+        got = krylov.matfunc_apply(lap, u, t, "exp", m=m)
+    finally:
+        config.pallas_mode = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=3e-4, atol=3e-5)
