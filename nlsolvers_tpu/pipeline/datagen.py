@@ -232,24 +232,38 @@ class Datagen:
         return metas, u0s, v0s, np.stack(ms), np.stack(cs)
 
     # -- evolution ------------------------------------------------------
-    def _evolve_nlse(self, u0s, m, c):
+    # Dispatch and fetch are split so run() can software-pipeline batches:
+    # JAX dispatch is asynchronous, so batch k+1's compute is enqueued on
+    # the device BEFORE batch k's snapshot stack is pulled back to the host
+    # and archived — D2H (slow on this backend: utils/complexio.py) and
+    # HDF5/downsample host work overlap the next batch's device time.
+    def _dispatch_nlse(self, u0s, m, c):
         cfg = self.cfg
         u0 = np.stack(u0s)
         packed = np.stack([u0.real, u0.imag], axis=1).astype(np.float32
                           if cfg.dtype == "complex64" else np.float64)
-        out = self.traj_fn(packed, m.astype(packed.dtype),
-                           c.astype(packed.dtype), cfg.snapshots,
-                           cfg.snapshot_freq)
-        out = np.asarray(out)                       # (B, S, 2, *shape)
+        return self.traj_fn(packed, m.astype(packed.dtype),
+                            c.astype(packed.dtype), cfg.snapshots,
+                            cfg.snapshot_freq)
+
+    def _evolve_nlse(self, u0s, m, c):
+        return self._fetch_nlse(self._dispatch_nlse(u0s, m, c))
+
+    @staticmethod
+    def _fetch_nlse(dev_out):
+        out = np.asarray(dev_out)                   # (B, S, 2, *shape)
         return out[:, :, 0] + 1j * out[:, :, 1]     # complex (B, S, *shape)
 
-    def _evolve_realwave(self, u0s, v0s, m, c):
+    def _dispatch_realwave(self, u0s, v0s, m, c):
         cfg = self.cfg
         rdt = np.float32 if cfg.dtype == "float32" else np.float64
         u0 = np.stack(u0s).astype(rdt)
         v0 = np.stack(v0s).astype(rdt)
-        u_t, v_t = self.traj_fn(u0, v0, m.astype(rdt), c.astype(rdt),
-                                cfg.snapshots, cfg.snapshot_freq)
+        return self.traj_fn(u0, v0, m.astype(rdt), c.astype(rdt),
+                            cfg.snapshots, cfg.snapshot_freq)
+
+    def _evolve_realwave(self, u0s, v0s, m, c):
+        u_t, v_t = self._dispatch_realwave(u0s, v0s, m, c)
         return np.asarray(u_t), np.asarray(v_t)
 
     def _downsample(self, traj):
@@ -269,18 +283,38 @@ class Datagen:
         done = 0
         mesh_n = int(np.prod(list(cfg.mesh.shape.values()))) \
             if cfg.mesh is not None else 1
-        while done < cfg.num_runs:
-            batch = min(cfg.batch_size, cfg.num_runs - done)
-            # A sharded batch axis must divide the mesh; pad by resampling
-            # and drop the extras when archiving.
-            pad = (-batch) % mesh_n
-            metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
-            t0 = time.time()
+
+        # plan the batches, then pipeline: dispatch k+1 before fetching k
+        plan = []
+        left = cfg.num_runs
+        while left > 0:
+            plan.append(min(cfg.batch_size, left))
+            left -= plan[-1]
+
+        pending = None     # (batch, metas, u0s, v0s, m, c, dev_out, t0)
+        for batch in plan + [None]:
+            if batch is not None:
+                pad = (-batch) % mesh_n   # sharded axis must divide mesh;
+                # pad by resampling, extras dropped when archiving
+                metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
+                t0 = time.time()
+                if cfg.family == "nlse":
+                    dev_out = self._dispatch_nlse(u0s, m, c)
+                else:
+                    dev_out = self._dispatch_realwave(u0s, v0s, m, c)
+                current = (batch, metas, u0s, v0s, m, c, dev_out, t0)
+            else:
+                current = None
+            if pending is None:
+                pending = current
+                continue
+            batch, metas, u0s, v0s, m, c, dev_out, t0 = pending
             if cfg.family == "nlse":
-                u_traj = self._evolve_nlse(u0s, m, c)
+                u_traj = self._fetch_nlse(dev_out)
                 v_traj = None
             else:
-                u_traj, v_traj = self._evolve_realwave(u0s, v0s, m, c)
+                u_traj = np.asarray(dev_out[0])
+                v_traj = np.asarray(dev_out[1])
             walltime = time.time() - t0
             per_run = walltime / batch
 
@@ -313,6 +347,11 @@ class Datagen:
                         **{f"c_{k}": str(v) for k, v in c_params.items()}))
                 written.append(path)
             done += batch
+            # NOTE: with pipelining, a batch's walltime overlaps the next
+            # batch's device time (and the first batch includes compile),
+            # so batch times can exceed the process' total wall time.
             print(f"batch done: {done}/{cfg.num_runs} runs, "
-                  f"{walltime:.2f}s ({per_run:.2f}s/run)")
+                  f"{walltime:.2f}s dispatch-to-fetch ({per_run:.2f}s/run, "
+                  f"overlapped)")
+            pending = current
         return written
