@@ -99,8 +99,10 @@ def supported_desc(desc, u_shape, dtype):
         if dtype not in (jnp.complex64, jnp.float32):
             return False
         nz, ny, nx = desc["nz"], desc["ny"], desc["nx"]
+        # worst-case stream count: j = m-2 at m = 20 with the aniso3d
+        # operator (9 op streams) -> ~30 concurrent block streams
         return (nx % 128 == 0 and ny % 8 == 0
-                and _pick_tile(ny, nx, 16) >= 8)
+                and _pick_tile(ny, nx, 30) >= 8)
     else:
         return False
     if tuple(u_shape) != (desc["ny"], desc["nx"]):
@@ -108,8 +110,9 @@ def supported_desc(desc, u_shape, dtype):
     if dtype not in (jnp.complex64, jnp.float32):
         return False
     ny, nx = desc["ny"], desc["nx"]
-    # lane/sublane alignment: full rows stream as (tile, nx) f32 blocks
-    return nx % 128 == 0 and ny % 8 == 0 and _pick_tile(ny, nx, 12) >= 8
+    # lane/sublane alignment: full rows stream as (tile, nx) f32 blocks;
+    # 30 streams = worst late-iteration count at m=20 (see 3D case above)
+    return nx % 128 == 0 and ny % 8 == 0 and _pick_tile(ny, nx, 30) >= 8
 
 
 def _pick_tile(ny, nx, n_streams, nplanes=2):
