@@ -223,7 +223,15 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
     from nlsolvers_tpu.config import pallas_dispatch
 
     desc = getattr(matvec, "_pallas_desc", None)
-    if desc is None or axis_names or not reorth or u.ndim not in (2, 3):
+    if desc is None or not reorth or u.ndim not in (2, 3):
+        return None
+    if axis_names:
+        # sharded grids: only the shard2d descriptor knows how to ppermute
+        # halos and psum the kernel reductions (ops/pallas/lanczos2d.py)
+        if (desc.get("kind") != "shard2d"
+                or tuple(axis_names) != (desc["ay"], desc["ax"])):
+            return None
+    elif desc.get("kind") == "shard2d":
         return None
     use, interpret = pallas_dispatch()
     if not use:
@@ -240,10 +248,12 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
         planar = jnp.stack([jnp.real(u).reshape(planar_shape),
                             jnp.imag(u).reshape(planar_shape)])
         out = matfunc_apply_planar(planar, desc, t, func, m,
-                                   interpret=interpret)
+                                   interpret=interpret,
+                                   axis_names=axis_names)
         return lax.complex(out[0], out[1]).reshape(u.shape).astype(u.dtype)
     planar = u.reshape(planar_shape)[None].astype(jnp.float32)
-    out = matfunc_apply_planar(planar, desc, t, func, m, interpret=interpret)
+    out = matfunc_apply_planar(planar, desc, t, func, m, interpret=interpret,
+                               axis_names=axis_names)
     return out[0].reshape(u.shape).astype(u.dtype)
 
 

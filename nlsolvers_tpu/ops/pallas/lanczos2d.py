@@ -88,6 +88,14 @@ def supported_desc(desc, u_shape, dtype):
     elif kind == "aniso_laplacian_2d":
         if desc.get("wx") is None or desc.get("wy") is None:
             return False
+    elif kind == "shard2d":
+        if desc.get("variant") not in ("reference", "clean"):
+            return False
+        if dtype not in (jnp.complex64, jnp.float32):
+            return False
+        lny, lnx = u_shape[-2:]
+        return (lnx % 128 == 0 and lny % 8 == 0
+                and _pick_tile(lny, lnx, 30) >= 8)
     elif kind in ("laplacian_3d", "aniso_laplacian_3d"):
         if kind == "laplacian_3d":
             if desc.get("variant") not in ("reference", "clean"):
@@ -113,6 +121,37 @@ def supported_desc(desc, u_shape, dtype):
     # lane/sublane alignment: full rows stream as (tile, nx) f32 blocks;
     # 30 streams = worst late-iteration count at m=20 (see 3D case above)
     return nx % 128 == 0 and ny % 8 == 0 and _pick_tile(ny, nx, 30) >= 8
+
+
+def _gather_halo_rows(arr, tile, rows_total, per_block=2):
+    """Gathered halo rows shaped (planes, nblk, per_block, nx): block i gets
+    global rows i*tile-1 and (i+1)*tile (clamped) — 2 rows/block instead of
+    re-streaming whole neighbor tiles (which triples W_j's HBM reads)."""
+    nblk = rows_total // tile
+    nx = arr.shape[-1]
+    blocks = np.arange(nblk)
+    if per_block == 1:
+        idx = np.maximum(blocks * tile - 1, 0)
+    else:
+        idx = np.empty(2 * nblk, np.int64)
+        idx[0::2] = np.maximum(blocks * tile - 1, 0)
+        idx[1::2] = np.minimum((blocks + 1) * tile, rows_total - 1)
+    g = jnp.take(arr, jnp.asarray(idx), axis=1)
+    return g.reshape(arr.shape[0], nblk, per_block, nx)
+
+
+def _recv_from_prev(slab, axis_name):
+    """Each shard receives `slab` from its predecessor (first shard gets
+    zeros — exactly the no-flux missing-neighbor semantics)."""
+    size = lax.axis_size(axis_name)
+    return lax.ppermute(slab, axis_name,
+                        [(i, i + 1) for i in range(size - 1)])
+
+
+def _recv_from_next(slab, axis_name):
+    size = lax.axis_size(axis_name)
+    return lax.ppermute(slab, axis_name,
+                        [(i, i - 1) for i in range(1, size)])
 
 
 def _pick_tile(ny, nx, n_streams, nplanes=2):
@@ -261,6 +300,19 @@ def _stencil_aniso_3d(u, up_row, dn_row, zup, zdn, wx, wym, wym_up_row,
     return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
 
 
+def _stencil_shard2d(u, up_row, dn_row, hc, diag, scale, sign):
+    """5-point stencil on a SHARDED local block: neighbor rows/cols outside
+    the shard arrive as ppermute'd halos (zeros at true domain edges — the
+    halo IS the no-flux boundary, parallel/spatial.py), and the variant's
+    diagonal is streamed as a per-cell array built from global coordinates.
+    No masks needed in-kernel."""
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
+    left = jnp.concatenate([hc[:, :, 0:1], u[:, :, :-1]], axis=2)
+    right = jnp.concatenate([u[:, :, 1:], hc[:, :, 1:2]], axis=2)
+    return (above + below + left + right + diag * u) * (scale * sign)
+
+
 def _dots(P, Wi, w):
     """(Hermitian) inner product partials of a planar block pair: returns
     (re, im) scalars; im == 0.0 for real fields (P == 1)."""
@@ -285,7 +337,8 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     blk = (P, tile, nx)
     wblk = (1, tile, nx)
     last = grid[0] - 1
-    nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4, "aniso3d": 9}[mode]
+    nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4, "aniso3d": 9,
+           "shard2d": 4}[mode]
     if mode in ("iso3d", "aniso3d"):
         K = geom[1] // tile     # z-neighbor block offset (tile divides ny)
 
@@ -310,6 +363,9 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
                                    ops_[6][:, 0, :, :], ops_[7][...],
                                    ops_[8], i * tile, tile, geom[0],
                                    geom[1], nx, scale, sign)
+        elif mode == "shard2d":
+            av = _stencil_shard2d(u, up_row, dn_row, ops_[2][...],
+                                  ops_[3][...], scale, sign)
         else:
             av = _stencil(u, up_row, dn_row, i * tile, tile, ny, nx, scale,
                           sign, variant)
@@ -354,6 +410,11 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
                      pl.BlockSpec((1, 1, 1, nx), halo4,
                                   memory_space=pltpu.VMEM),
                      wspec(center), wspec(zup)]
+    elif mode == "shard2d":
+        # halo columns (P, lny, 2): lane dim 2 == full array dim (legal)
+        op_specs += [pl.BlockSpec((P, tile, 2), center,
+                                  memory_space=pltpu.VMEM),
+                     wspec(center)]
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ] + op_specs + [blkspec(center) for _ in range(j)]
@@ -571,19 +632,63 @@ def _pass2_call(j, P, ny, nx, tile, interpret):
     )
 
 
-def lanczos_planar(u, desc, m, interpret=False):
+def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
     """Fused-kernel Lanczos on a planar (P, ny, nx) float32 field.
 
     Returns (W, s, alpha, beta, beta0): unnormalized Krylov columns W (list,
     W[i]/|W[i]| is the reference's v_i), their inverse norms s (list of
     scalars), and the T entries — same semantics as ops/krylov.lanczos
     (eigen_krylov_real.hpp:8-55 with full reorthogonalization).
+
+    With a "shard2d" descriptor this runs inside shard_map on a spatially
+    sharded grid: the kernels see the LOCAL block, cross-shard stencil rows/
+    cols arrive as ppermute'd halos, and every reduction (the raw projection
+    dots, the norms) is psum'd over `axis_names` — the distributed analogue
+    of parallel/spatial.sharded_laplacian_2d's halo_neighbor_sum.
     """
+    axis_names = tuple(axis_names)
     P, ny, nx = u.shape          # ny = merged nz*ny row count for 3D
     scale, sign, variant = desc["scale"], desc["sign"], desc["variant"]
     kind = desc["kind"]
+
+    def gsum(x):
+        return lax.psum(x, axis_names) if axis_names else x
+
     geom = None
-    if kind == "aniso_laplacian_2d":
+    shard_halo = None
+    if kind == "shard2d":
+        mode, n_op = "shard2d", 4
+        ay, ax = desc["ay"], desc["ax"]
+        NY, NX = desc["NY"], desc["NX"]
+        # variant diagonal from GLOBAL coordinates (unscaled; the kernel
+        # applies scale*sign) — one loop-invariant (lny, lnx) array
+        gy = (lax.axis_index(ay) * ny
+              + lax.broadcasted_iota(jnp.int32, (ny, nx), 0))
+        gx = (lax.axis_index(ax) * nx
+              + lax.broadcasted_iota(jnp.int32, (ny, nx), 1))
+        ring = (gy == 0) | (gy == NY - 1) | (gx == 0) | (gx == NX - 1)
+        if variant == "reference":
+            diag = jnp.where(ring, -3.0, -4.0).astype(jnp.float32)
+        else:
+            nnb = (4.0 - (gy == 0) - (gy == NY - 1)
+                   - (gx == 0) - (gx == NX - 1))
+            diag = (-nnb).astype(jnp.float32)
+        diag = diag[None]                              # (1, lny, lnx)
+
+        def shard_halo(wj, tile):
+            """Halo rows/cols with cross-shard ppermute edges (zeros at the
+            true domain boundary — the halo IS the no-flux BC)."""
+            nblk = ny // tile
+            h = _gather_halo_rows(wj, tile, ny)
+            top = _recv_from_prev(wj[:, -1:, :], ay)   # row above shard
+            bot = _recv_from_next(wj[:, :1, :], ay)    # row below shard
+            h = h.at[:, 0, 0, :].set(top[:, 0, :])
+            h = h.at[:, nblk - 1, 1, :].set(bot[:, 0, :])
+            lcol = _recv_from_prev(wj[:, :, -1:], ax)
+            rcol = _recv_from_next(wj[:, :, :1], ax)
+            hc = jnp.concatenate([lcol, rcol], axis=2)  # (P, lny, 2)
+            return h, hc
+    elif kind == "aniso_laplacian_2d":
         mode, n_op = "aniso2d", 3      # wx/wy blocks ~ one extra full stream
         wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
         wy = jnp.asarray(desc["wy"], jnp.float32).reshape(1, ny, nx)
@@ -603,22 +708,12 @@ def lanczos_planar(u, desc, m, interpret=False):
     tile_div = geom[1] if geom else ny
 
     def halo_rows(arr, tile, per_block=2):
-        """Gathered halo rows shaped (planes, nblk, per_block, nx): block i
-        gets global rows i*tile-1 and (i+1)*tile (clamped) — 2 rows/block
-        instead of re-streaming whole neighbor tiles (which triples W_j's
-        HBM reads)."""
-        nblk = ny // tile
-        blocks = np.arange(nblk)
-        if per_block == 1:
-            idx = np.maximum(blocks * tile - 1, 0)
-        else:
-            idx = np.empty(2 * nblk, np.int64)
-            idx[0::2] = np.maximum(blocks * tile - 1, 0)
-            idx[1::2] = np.minimum((blocks + 1) * tile, ny - 1)
-        g = jnp.take(arr, jnp.asarray(idx), axis=1)
-        return g.reshape(arr.shape[0], nblk, per_block, nx)
+        return _gather_halo_rows(arr, tile, ny, per_block=per_block)
 
     def op_args(wj, tile):
+        if mode == "shard2d":
+            h, hc = shard_halo(wj, tile)
+            return (wj, h, hc, diag)
         h = halo_rows(wj, tile)
         if mode == "aniso2d":
             return (wj, h, wx, wy, halo_rows(wy, tile, per_block=1))
@@ -629,9 +724,10 @@ def lanczos_planar(u, desc, m, interpret=False):
                     halo_rows(wym, tile, per_block=1), wz, wz)
         return (wj, h)
 
-    fused_iter = _FUSED_ITER and P * ny * nx * 4 <= 32 * 2**20
+    fused_iter = (_FUSED_ITER and mode != "shard2d"
+                  and P * ny * nx * 4 <= 32 * 2**20)
 
-    beta0 = jnp.sqrt(jnp.sum(u * u))
+    beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
     W = [u]
     s = [1.0 / beta0]
     alphas, betas = [], []
@@ -656,6 +752,7 @@ def lanczos_planar(u, desc, m, interpret=False):
             w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
                                  interpret, mode=mode, geom=geom)(
                 scal, *op_args(W[j], tile), *W[:j])
+            raw = gsum(raw)
             sv = jnp.stack([si.astype(jnp.float32) for si in s])  # (j+1,)
             proj = sv[:, None] * raw                               # (j+1, 2)
             alphas.append(proj[j, 0])
@@ -663,22 +760,26 @@ def lanczos_planar(u, desc, m, interpret=False):
             tile2 = _pick_tile(ny, nx, j + 4, nplanes=P)
             wn, nsq = _pass2_call(j, P, ny, nx, tile2, interpret)(
                 q, w, *W[:j + 1])
-        b = jnp.sqrt(nsq[0, 0])
+        b = jnp.sqrt(gsum(nsq[0, 0]))
         W.append(wn)
         s.append(1.0 / b)
         betas.append(b)
     return W, s, alphas, betas, beta0
 
 
-def matfunc_apply_planar(u, desc, t, func, m, interpret=False):
+def matfunc_apply_planar(u, desc, t, func, m, interpret=False,
+                         axis_names=()):
     """y = f(t * sign*scale*L) u on a planar (P, ny, nx) float32 field.
 
     Drop-in fused equivalent of ops/krylov.matfunc_apply for operators with
     a pallas descriptor; same function table (MATFUNCS), same T handling.
+    With axis_names (shard2d descriptors) it runs on spatially sharded
+    grids inside shard_map.
     """
     P = u.shape[0]
     W, s, alphas, betas, beta0 = lanczos_planar(u, desc, m,
-                                                interpret=interpret)
+                                                interpret=interpret,
+                                                axis_names=axis_names)
     zero = jnp.zeros((), jnp.float32) * beta0
     alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,),
                                                                 jnp.float32)

@@ -113,6 +113,11 @@ def sharded_laplacian_2d(global_shape, dx, dy, axis_names,
         nb = (halo_neighbor_sum(u, -1, ax) + halo_neighbor_sum(u, -2, ay))
         return (nb + diag * u) * scale
 
+    # descriptor for the fused Pallas Lanczos kernels: the sharded mode
+    # ppermutes halos and psums kernel reductions (ops/pallas/lanczos2d.py)
+    apply._pallas_desc = dict(kind="shard2d", NY=int(NY), NX=int(NX),
+                              scale=float(scale), sign=1.0, variant=variant,
+                              ay=ay, ax=ax)
     return apply
 
 
@@ -297,7 +302,7 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
               else P(None, batch_axis, *axis_names))
     sharded = jax.shard_map(local_step, mesh=mesh,
                             in_specs=(u_spec, grid_spec),
-                            out_specs=u_spec)
+                            out_specs=u_spec, check_vma=False)
     return jax.jit(sharded)
 
 
@@ -318,6 +323,9 @@ def make_sharded_realwave_step(kind, global_shape, Lx, dt, mesh,
 
     lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
     omega2 = lambda u: -lap(u)
+    _d = getattr(lap, "_pallas_desc", None)
+    if _d is not None:
+        omega2._pallas_desc = dict(_d, sign=-_d["sign"])
     neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
                else (lambda u: u))
 
@@ -339,5 +347,5 @@ def make_sharded_realwave_step(kind, global_shape, Lx, dt, mesh,
     spec = _spec(axis_names, batch_axis)
     sharded = jax.shard_map(local_step, mesh=mesh,
                             in_specs=(spec, spec, spec),
-                            out_specs=(spec, spec))
+                            out_specs=(spec, spec), check_vma=False)
     return jax.jit(sharded)

@@ -255,3 +255,55 @@ def test_aniso_3d_expm_matches_xla(variant):
         config.pallas_mode = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_fused_matches_sharded_xla(interp_mode):
+    # 256^2 grid over a (2, 2) mesh: local 128x128 blocks are lane-aligned,
+    # so the shard2d fused kernels engage (ppermute halos + psum'd dots).
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    N, m_kry = 256, 6
+    step = spatial.make_sharded_nlse_step(
+        "cubic", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        krylov_m=m_kry, dtype=jnp.complex64)
+    rng = np.random.default_rng(31)
+    u0 = 0.1 * rng.standard_normal((2, N, N)).astype(np.float32)
+    mf = np.ones((N, N), np.float32)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step(
+        "cubic", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        krylov_m=m_kry, dtype=jnp.complex64)
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_fused_realwave_matches(interp_mode):
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    N, m_kry = 256, 6
+    step = spatial.make_sharded_realwave_step(
+        "sine_gordon", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        integrator="gautschi", krylov_m=m_kry, dtype=jnp.float32)
+    rng = np.random.default_rng(33)
+    u0 = jnp.asarray(0.1 * rng.standard_normal((N, N)).astype(np.float32))
+    up = u0
+    mf = jnp.ones((N, N), jnp.float32)
+    got = step(u0, up, mf)
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_realwave_step(
+        "sine_gordon", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        integrator="gautschi", krylov_m=m_kry, dtype=jnp.float32)
+    ref = step_ref(u0, up, mf)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=3e-4, atol=3e-5)
