@@ -31,7 +31,6 @@ helper operators attach to their closures so ops/krylov.matfunc_apply can
 dispatch here automatically on TPU).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ descriptor, complex64 state, lane-aligned grid, basis fits the VMEM budget,
 theta_max small enough. Everything else falls back to lanczos2d/XLA.
 """
 
-import math
 
 import jax
 import jax.numpy as jnp
