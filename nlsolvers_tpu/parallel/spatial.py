@@ -34,6 +34,7 @@ from nlsolvers_tpu.models.nonlinearities import nlse_density, realwave_g
 __all__ = [
     "halo_neighbor_sum",
     "sharded_laplacian_2d",
+    "sharded_anisotropic_laplacian_2d",
     "sharded_neumann_2d",
     "sharded_laplacian_3d",
     "sharded_neumann_3d",
@@ -205,6 +206,57 @@ def sharded_laplacian_3d(global_shape, dx, axis_names,
     return apply
 
 
+def sharded_anisotropic_laplacian_2d(global_shape, dx, dy, axis_names):
+    """Local closure for finite-volume div(c grad u) on a sharded 2D grid.
+
+    Semantics identical to ops.operators.anisotropic_laplacian_2d on the
+    gathered global array (laplacians.hpp:54-103): face coupling = mean of
+    the two cell c values, conservative diagonal. Cross-shard faces use
+    ppermute'd edge columns/rows of BOTH u and c; global-boundary faces are
+    masked to zero (no flux). Returns apply(u, c) — c is a per-call local
+    field so per-trajectory coefficient sweeps stay one compiled program.
+    """
+    NY, NX = global_shape
+    ay, ax = axis_names
+    scale = 1.0 / (dx * dy)
+
+    def apply(u, c):
+        lny, lnx = u.shape[-2:]
+        gy, gx = _global_coords((lny, lnx), axis_names)
+
+        # --- x faces -----------------------------------------------------
+        u_rcol = _recv_from_next(u[..., :, :1], ax)      # neighbor's col 0
+        c_rcol = _recv_from_next(c[..., :, :1], ax)
+        u_r = jnp.concatenate([u[..., :, 1:], u_rcol], axis=-1)
+        c_r = jnp.concatenate([c[..., :, 1:], c_rcol], axis=-1)
+        wx = 0.5 * (c + c_r)
+        fx = wx * (u_r - u)
+        fx = jnp.where(gx == NX - 1, 0.0, fx)            # no face past edge
+        u_lcol = _recv_from_prev(u[..., :, -1:], ax)     # neighbor's last col
+        c_lcol = _recv_from_prev(c[..., :, -1:], ax)
+        fx_edge = 0.5 * (c_lcol + c[..., :, :1]) * (u[..., :, :1] - u_lcol)
+        fx_l = jnp.concatenate([fx_edge, fx[..., :, :-1]], axis=-1)
+        fx_l = jnp.where(gx == 0, 0.0, fx_l)
+
+        # --- y faces -----------------------------------------------------
+        u_brow = _recv_from_next(u[..., :1, :], ay)
+        c_brow = _recv_from_next(c[..., :1, :], ay)
+        u_b = jnp.concatenate([u[..., 1:, :], u_brow], axis=-2)
+        c_b = jnp.concatenate([c[..., 1:, :], c_brow], axis=-2)
+        wy = 0.5 * (c + c_b)
+        fy = wy * (u_b - u)
+        fy = jnp.where(gy == NY - 1, 0.0, fy)
+        u_trow = _recv_from_prev(u[..., -1:, :], ay)
+        c_trow = _recv_from_prev(c[..., -1:, :], ay)
+        fy_edge = 0.5 * (c_trow + c[..., :1, :]) * (u[..., :1, :] - u_trow)
+        fy_t = jnp.concatenate([fy_edge, fy[..., :-1, :]], axis=-2)
+        fy_t = jnp.where(gy == 0, 0.0, fy_t)
+
+        return (fx - fx_l + fy - fy_t) * scale
+
+    return apply
+
+
 def neighbor_sum_local(u, axis):
     """Shard-local neighbor sum (no halo) — for merged-view seam terms."""
     n = u.shape[axis]
@@ -265,34 +317,46 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
                            axis_names=("gy", "gx"), batch_axis=None,
                            sigma1=1.0, sigma2=-0.1, kappa=1.0,
                            krylov_m=10, dtype=jnp.complex64,
-                           variant="reference", apply_bc=True, reorth=True):
+                           variant="reference", apply_bc=True, reorth=True,
+                           use_c=False):
     """Builds a jitted SS2 step over a spatially sharded (optionally also
     trajectory-batched) grid.
 
     Returns step(u_packed, m_field) -> u_packed, operating on GLOBAL arrays:
     u_packed is (2, *grid) stacked real/imag (or (2, B, *grid) with a batch
     axis), m_field is (*grid) / (B, *grid). Shardings follow the mesh axes;
-    3D grids take axis_names=("gz", "gy", "gx").
+    3D grids take axis_names=("gz", "gy", "gx"). With use_c=True the step
+    takes an extra anisotropy field and applies the finite-volume
+    div(c grad u) operator (2D only) with cross-shard face fluxes.
     """
     nx = global_shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     rdtype = real_dtype_of(dtype)
 
-    lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
+    if use_c:
+        if len(global_shape) != 2:
+            raise ValueError("use_c sharding is 2D-only for now")
+        aniso = sharded_anisotropic_laplacian_2d(global_shape, dx, dx,
+                                                 axis_names)
+    else:
+        lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
     neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
                else (lambda u: u))
 
-    def local_single(u, mloc):
+    def local_single(u, mloc, cloc=None):
+        op = (lambda v: aniso(v, cloc)) if use_c else lap
         rho = nlse_density(kind, mloc, sigma1=sigma1, sigma2=sigma2,
                            kappa=kappa)
-        u = nlse_mod.ss2_step(u, lap, rho, dt, m=krylov_m, reorth=reorth,
+        u = nlse_mod.ss2_step(u, op, rho, dt, m=krylov_m, reorth=reorth,
                               axis_names=axis_names)
         return neumann(u)
 
-    def local_step(u_packed, mloc):
+    def local_step(u_packed, mloc, cloc=None):
         u = lax.complex(u_packed[0], u_packed[1])
         if batch_axis is None:
-            u = local_single(u, mloc)
+            u = local_single(u, mloc, cloc)
+        elif use_c:
+            u = jax.vmap(local_single)(u, mloc, cloc)
         else:
             u = jax.vmap(local_single)(u, mloc)
         return jnp.stack([jnp.real(u), jnp.imag(u)])
@@ -300,8 +364,10 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
     grid_spec = _spec(axis_names, batch_axis)
     u_spec = (P(None, *axis_names) if batch_axis is None
               else P(None, batch_axis, *axis_names))
+    in_specs = ((u_spec, grid_spec, grid_spec) if use_c
+                else (u_spec, grid_spec))
     sharded = jax.shard_map(local_step, mesh=mesh,
-                            in_specs=(u_spec, grid_spec),
+                            in_specs=in_specs,
                             out_specs=u_spec, check_vma=False)
     return jax.jit(sharded)
 

@@ -251,3 +251,66 @@ def test_sharded_realwave_step_3d_matches_single_device():
         u, up = step(u, up, mj)
     np.testing.assert_allclose(np.asarray(u), np.asarray(ref_state[0]),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_anisotropic_matches_global():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.ops import operators
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    N = 32
+    dx = 0.17
+    rng = np.random.default_rng(5)
+    c = (1.0 + 0.5 * rng.random((N, N))).astype(np.float64)
+    u = (rng.standard_normal((N, N))
+         + 1j * rng.standard_normal((N, N))).astype(np.complex128)
+    ref = np.asarray(operators.anisotropic_laplacian_2d(c, dx, dx)(
+        jnp.asarray(u)))
+
+    local = spatial.sharded_anisotropic_laplacian_2d((N, N), dx, dx,
+                                                     ("gy", "gx"))
+    from jax.sharding import PartitionSpec as P
+    f = jax.jit(jax.shard_map(local, mesh=mesh,
+                              in_specs=(P("gy", "gx"), P("gy", "gx")),
+                              out_specs=P("gy", "gx"), check_vma=False))
+    got = np.asarray(f(jnp.asarray(u), jnp.asarray(c)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_nlse_step_with_c():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+    from nlsolvers_tpu.models import problems
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    N = 32
+    rng = np.random.default_rng(6)
+    c = (1.0 + 0.4 * rng.random((N, N))).astype(np.float32)
+    mf = np.ones((N, N), np.float32)
+    u0 = 0.1 * rng.standard_normal((2, N, N)).astype(np.float32)
+
+    step = spatial.make_sharded_nlse_step(
+        "cubic", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        krylov_m=6, dtype=jnp.complex64, use_c=True)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)))
+
+    # single-device reference problem with the same c field
+    prob = problems.nlse_problem("cubic", (N, N), 5.0, 1e-3, m_field=mf,
+                                 c_field=c, krylov_m=6, dtype=jnp.complex64)
+    u0c = jnp.asarray(u0[0] + 1j * u0[1], jnp.complex64)
+    ref_c = np.asarray(jax.jit(prob.step)(u0c, 1))
+    ref = np.stack([ref_c.real, ref_c.imag])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
