@@ -226,12 +226,12 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
     if desc is None or not reorth or u.ndim not in (2, 3):
         return None
     if axis_names:
-        # sharded grids: only the shard2d descriptor knows how to ppermute
+        # sharded grids: only the shard2d descriptors know how to ppermute
         # halos and psum the kernel reductions (ops/pallas/lanczos2d.py)
-        if (desc.get("kind") != "shard2d"
+        if (desc.get("kind") not in ("shard2d", "shard2d_aniso")
                 or tuple(axis_names) != (desc["ay"], desc["ax"])):
             return None
-    elif desc.get("kind") == "shard2d":
+    elif desc.get("kind") in ("shard2d", "shard2d_aniso"):
         return None
     use, interpret = pallas_dispatch()
     if not use:

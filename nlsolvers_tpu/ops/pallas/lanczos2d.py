@@ -95,6 +95,14 @@ def supported_desc(desc, u_shape, dtype):
         lny, lnx = u_shape[-2:]
         return (lnx % 128 == 0 and lny % 8 == 0
                 and _pick_tile(lny, lnx, 30) >= 8)
+    elif kind == "shard2d_aniso":
+        if desc.get("c") is None:
+            return False
+        if dtype not in (jnp.complex64, jnp.float32):
+            return False
+        lny, lnx = u_shape[-2:]
+        return (lnx % 128 == 0 and lny % 8 == 0
+                and _pick_tile(lny, lnx, 30) >= 8)
     elif kind in ("laplacian_3d", "aniso_laplacian_3d"):
         if kind == "laplacian_3d":
             if desc.get("variant") not in ("reference", "clean"):
@@ -312,6 +320,31 @@ def _stencil_shard2d(u, up_row, dn_row, hc, diag, scale, sign):
     return (above + below + left + right + diag * u) * (scale * sign)
 
 
+def _stencil_shard2d_aniso(u, up_row, dn_row, hc, wx, wy, wyh_row, wxl,
+                           scale, sign):
+    """Finite-volume div(c grad u) on a SHARDED local block.
+
+    All no-flux and cross-shard face structure is baked into the weights on
+    the jnp side (parallel/spatial.sharded_anisotropic_laplacian_2d math):
+    `wx`/`wy` are local padded face weights whose LAST col/row hold the
+    cross-shard face (zero at the true domain edge); `wxl` is the face
+    weight column to the LEFT neighbor (zero at the domain edge); `wyh_row`
+    is this tile's upper face-weight halo row. `hc` carries the ppermute'd
+    u columns [left, right]; `up_row`/`dn_row` the u halo rows.
+    """
+    lcol, rcol = hc[:, :, 0:1], hc[:, :, 1:2]
+    u_r = jnp.concatenate([u[:, :, 1:], rcol], axis=2)
+    fx = wx * (u_r - u)                       # last col = cross-shard flux
+    fxl_edge = wxl * (u[:, :, :1] - lcol)
+    fx_l = jnp.concatenate([fxl_edge, fx[:, :, :-1]], axis=2)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
+    fy = wy * (below - u)                     # last row = cross-shard flux
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    wy_up = jnp.concatenate([wyh_row, wy[:, :-1, :]], axis=1)
+    fy_m1 = wy_up * (u - above)               # wyh_row = 0 at domain top
+    return (fx - fx_l + fy - fy_m1) * (scale * sign)
+
+
 def _dots(P, Wi, w):
     """(Hermitian) inner product partials of a planar block pair: returns
     (re, im) scalars; im == 0.0 for real fields (P == 1)."""
@@ -337,7 +370,7 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     wblk = (1, tile, nx)
     last = grid[0] - 1
     nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4, "aniso3d": 9,
-           "shard2d": 4}[mode]
+           "shard2d": 4, "shard2d_aniso": 7}[mode]
     if mode in ("iso3d", "aniso3d"):
         K = geom[1] // tile     # z-neighbor block offset (tile divides ny)
 
@@ -365,6 +398,11 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
         elif mode == "shard2d":
             av = _stencil_shard2d(u, up_row, dn_row, ops_[2][...],
                                   ops_[3][...], scale, sign)
+        elif mode == "shard2d_aniso":
+            av = _stencil_shard2d_aniso(u, up_row, dn_row, ops_[2][...],
+                                        ops_[3][...], ops_[4][...],
+                                        ops_[5][:, 0, :, :], ops_[6][...],
+                                        scale, sign)
         else:
             av = _stencil(u, up_row, dn_row, i * tile, tile, ny, nx, scale,
                           sign, variant)
@@ -414,6 +452,14 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
         op_specs += [pl.BlockSpec((P, tile, 2), center,
                                   memory_space=pltpu.VMEM),
                      wspec(center)]
+    elif mode == "shard2d_aniso":
+        op_specs += [pl.BlockSpec((P, tile, 2), center,   # u col halos
+                                  memory_space=pltpu.VMEM),
+                     wspec(center), wspec(center),         # wx, wy
+                     pl.BlockSpec((1, 1, 1, nx), halo4,    # wy halo rows
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec((1, tile, 1), center,    # wx left col
+                                  memory_space=pltpu.VMEM)]
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ] + op_specs + [blkspec(center) for _ in range(j)]
@@ -687,6 +733,46 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
             rcol = _recv_from_next(wj[:, :, :1], ax)
             hc = jnp.concatenate([lcol, rcol], axis=2)  # (P, lny, 2)
             return h, hc
+    elif kind == "shard2d_aniso":
+        mode, n_op = "shard2d_aniso", 7
+        ay, ax = desc["ay"], desc["ax"]
+        NY, NX = desc["NY"], desc["NX"]
+        c = jnp.asarray(desc["c"], jnp.float32)
+        gy = (lax.axis_index(ay) * ny
+              + lax.broadcasted_iota(jnp.int32, (ny, nx), 0))
+        gx = (lax.axis_index(ax) * nx
+              + lax.broadcasted_iota(jnp.int32, (ny, nx), 1))
+        # padded face weights; last col/row = cross-shard face, masked to
+        # zero at the true domain boundary (parity with
+        # parallel/spatial.sharded_anisotropic_laplacian_2d)
+        c_rcol = _recv_from_next(c[:, :1], ax)
+        c_r = jnp.concatenate([c[:, 1:], c_rcol], axis=1)
+        wxp = jnp.where(gx == NX - 1, 0.0, 0.5 * (c + c_r))[None]
+        c_brow = _recv_from_next(c[:1, :], ay)
+        c_b = jnp.concatenate([c[1:, :], c_brow], axis=0)
+        wyp = jnp.where(gy == NY - 1, 0.0, 0.5 * (c + c_b))[None]
+        c_lcol = _recv_from_prev(c[:, -1:], ax)
+        wxl = jnp.where(gx[:, :1] == 0, 0.0,
+                        0.5 * (c_lcol + c[:, :1]))[None]      # (1, lny, 1)
+        c_trow = _recv_from_prev(c[-1:, :], ay)
+        wy_top = jnp.where(gy[:1, :] == 0, 0.0,
+                           0.5 * (c_trow + c[:1, :]))[None]   # (1, 1, lnx)
+
+        def shard_halo(wj, tile):
+            nblk = ny // tile
+            h = _gather_halo_rows(wj, tile, ny)
+            top = _recv_from_prev(wj[:, -1:, :], ay)
+            bot = _recv_from_next(wj[:, :1, :], ay)
+            h = h.at[:, 0, 0, :].set(top[:, 0, :])
+            h = h.at[:, nblk - 1, 1, :].set(bot[:, 0, :])
+            lcol = _recv_from_prev(wj[:, :, -1:], ax)
+            rcol = _recv_from_next(wj[:, :, :1], ax)
+            hc = jnp.concatenate([lcol, rcol], axis=2)
+            # per-tile wy upper-face halo rows: local rows i*tile-1 of the
+            # padded wy, except block 0 whose face weight is cross-shard
+            wyh = _gather_halo_rows(wyp, tile, ny, per_block=1)
+            wyh = wyh.at[:, 0, 0, :].set(wy_top[:, 0, :])
+            return h, hc, wyh
     elif kind == "aniso_laplacian_2d":
         mode, n_op = "aniso2d", 3      # wx/wy blocks ~ one extra full stream
         wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
@@ -713,6 +799,9 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         if mode == "shard2d":
             h, hc = shard_halo(wj, tile)
             return (wj, h, hc, diag)
+        if mode == "shard2d_aniso":
+            h, hc, wyh = shard_halo(wj, tile)
+            return (wj, h, hc, wxp, wyp, wyh, wxl)
         h = halo_rows(wj, tile)
         if mode == "aniso2d":
             return (wj, h, wx, wy, halo_rows(wy, tile, per_block=1))
@@ -723,7 +812,7 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
                     halo_rows(wym, tile, per_block=1), wz, wz)
         return (wj, h)
 
-    fused_iter = (_FUSED_ITER and mode != "shard2d"
+    fused_iter = (_FUSED_ITER and mode not in ("shard2d", "shard2d_aniso")
                   and P * ny * nx * 4 <= 32 * 2**20)
 
     beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))

@@ -344,7 +344,16 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
                else (lambda u: u))
 
     def local_single(u, mloc, cloc=None):
-        op = (lambda v: aniso(v, cloc)) if use_c else lap
+        if use_c:
+            op = lambda v: aniso(v, cloc)
+            # per-call descriptor (c is a tracer) for the fused kernels
+            op._pallas_desc = dict(kind="shard2d_aniso", NY=global_shape[0],
+                                   NX=global_shape[1],
+                                   scale=1.0 / (dx * dx), sign=1.0,
+                                   variant="aniso", ay=axis_names[0],
+                                   ax=axis_names[1], c=cloc)
+        else:
+            op = lap
         rho = nlse_density(kind, mloc, sigma1=sigma1, sigma2=sigma2,
                            kappa=kappa)
         u = nlse_mod.ss2_step(u, op, rho, dt, m=krylov_m, reorth=reorth,

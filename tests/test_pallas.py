@@ -307,3 +307,29 @@ def test_sharded_fused_realwave_matches(interp_mode):
     ref = step_ref(u0, up, mf)
     np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
                                rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_aniso_fused_matches_xla(interp_mode):
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    N, m_kry = 256, 6
+    rng = np.random.default_rng(41)
+    c = (1.0 + 0.4 * rng.random((N, N))).astype(np.float32)
+    mf = np.ones((N, N), np.float32)
+    u0 = 0.1 * rng.standard_normal((2, N, N)).astype(np.float32)
+    step = spatial.make_sharded_nlse_step(
+        "cubic", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        krylov_m=m_kry, dtype=jnp.complex64, use_c=True)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step(
+        "cubic", (N, N), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        krylov_m=m_kry, dtype=jnp.complex64, use_c=True)
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf),
+                              jnp.asarray(c)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
