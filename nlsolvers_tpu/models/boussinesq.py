@@ -17,7 +17,7 @@ its one-sided boundary closure (bouss_solver.hpp:17-45):
 
 import jax.numpy as jnp
 
-from nlsolvers_tpu.ops.krylov import matfunc_apply
+from nlsolvers_tpu.ops.krylov import matfunc_apply, matfunc_apply_multi
 from nlsolvers_tpu.ops.operators import laplacian_2d, biharmonic_x
 from nlsolvers_tpu.config import default_krylov_m
 
@@ -45,11 +45,17 @@ def boussinesq_omega2(shape, dx, dtype=jnp.float64, variant="reference"):
 
 
 def gautschi_step(u, u_past, omega2, dx, dt, m=default_krylov_m, reorth=True):
-    """One Boussinesq Gautschi step; returns (u_new, u)."""
-    fu = matfunc_apply(omega2, u, dt, "id_sqrt", m=m, reorth=reorth)
+    """One Boussinesq Gautschi step; returns (u_new, u).
+
+    Filter and cosine share one Lanczos decomposition of u (bit-identical
+    to separate runs, see ops/krylov.matfunc_apply_multi): 2 Lanczos per
+    step where the reference does 3 (bouss_solver.hpp:48-67).
+    """
+    fu, cu = matfunc_apply_multi(omega2, u,
+                                 ((dt, "id_sqrt"), (dt, "cos_sqrt")),
+                                 m=m, reorth=reorth)
     g = -3.0 * uxx_1d(fu * fu, dx)
     s2 = matfunc_apply(omega2, g, dt, "sinc2_sqrt_half", m=m, reorth=reorth)
-    cu = matfunc_apply(omega2, u, dt, "cos_sqrt", m=m, reorth=reorth)
     return 2.0 * cu - u_past + (dt * dt) * s2, u
 
 

@@ -122,8 +122,8 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
     """NLSE family: i u_t + div(c grad u) + rho_kind(u) u = 0.
 
     kind in {"cubic", "cubic_quintic", "saturable"}; integrator in
-    {"ss2", "sewi", "gautschi"}. `shape` is the full grid (ny, nx) or
-    (nz, ny, nx); the domain is [-Lx, Lx]^d.
+    {"ss2", "sewi", "sewi_fused", "gautschi"}. `shape` is the full grid
+    (ny, nx) or (nz, ny, nx); the domain is [-Lx, Lx]^d.
 
     Parity: m_field defaults to ZERO like the reference NLSE drivers
     (nlse_cubic_driver.cpp:64: m = VectorXd::Zero unless an m file is given),
@@ -163,9 +163,15 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
 
         observe = lambda s: s
 
-    elif integrator in ("sewi", "gautschi"):
-        two_step = (nlse_mod.sewi_step if integrator == "sewi"
-                    else nlse_mod.gautschi_step)
+    elif integrator in ("sewi", "sewi_fused", "gautschi"):
+        # "sewi_fused" applies exp(i dt L) sinc(dt L) as one matrix function
+        # (2 Lanczos/step instead of 3; see models/nlse.sewi_step).
+        if integrator == "sewi":
+            two_step = nlse_mod.sewi_step
+        elif integrator == "sewi_fused":
+            two_step = partial(nlse_mod.sewi_step, fuse_exp_sinc=True)
+        else:
+            two_step = nlse_mod.gautschi_step
 
         def step(state, i):
             u, u_prev = state

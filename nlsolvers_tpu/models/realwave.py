@@ -31,7 +31,7 @@ counter-based JAX PRNG key per step — reproducible by construction.
 import jax
 import jax.numpy as jnp
 
-from nlsolvers_tpu.ops.krylov import matfunc_apply
+from nlsolvers_tpu.ops.krylov import matfunc_apply, matfunc_apply_multi
 from nlsolvers_tpu.config import default_krylov_m
 
 __all__ = ["gautschi_step", "sv_step", "stochastic_sv_step"]
@@ -45,13 +45,17 @@ def gautschi_step(u, u_past, omega2, m_field, g_fn, dt,
     `omega2` applies L = Omega^2 (sign-insensitive, see module docstring);
     `filter_func` is "mod_cosine" for single sine-Gordon (sg_single_solver.hpp:52)
     or "id_sqrt" for the rest.
+
+    The filter and the cosine act on the SAME vector u, so they share one
+    Lanczos decomposition (matfunc_apply_multi — bit-identical to separate
+    runs): 2 Lanczos per step where the reference does 3
+    (sg_single_solver.hpp:52-57).
     """
-    fu = matfunc_apply(omega2, u, dt, filter_func, m=m, reorth=reorth,
-                       axis_names=axis_names)
+    fu, cu = matfunc_apply_multi(omega2, u,
+                                 ((dt, filter_func), (dt, "cos_sqrt")),
+                                 m=m, reorth=reorth, axis_names=axis_names)
     b = -(m_field * g_fn(fu))
     s2 = matfunc_apply(omega2, b, dt, "sinc2_sqrt_half", m=m, reorth=reorth,
-                       axis_names=axis_names)
-    cu = matfunc_apply(omega2, u, dt, "cos_sqrt", m=m, reorth=reorth,
                        axis_names=axis_names)
     return 2.0 * cu - u_past + (dt * dt) * s2, u
 

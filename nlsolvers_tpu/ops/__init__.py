@@ -13,4 +13,6 @@ from nlsolvers_tpu.ops.boundaries import (
     neumann_no_velocity_3d,
     radiating_nlse_2d,
 )
-from nlsolvers_tpu.ops.krylov import lanczos, matfunc_apply, expm_apply, MATFUNCS
+from nlsolvers_tpu.ops.krylov import (lanczos, matfunc_apply,
+                                      matfunc_apply_multi, expm_apply,
+                                      MATFUNCS)

@@ -43,7 +43,16 @@ from jax import lax
 
 from nlsolvers_tpu.config import default_krylov_m, real_dtype_of
 
-__all__ = ["lanczos", "tridiag_eigh", "matfunc_apply", "expm_apply", "MATFUNCS"]
+__all__ = ["lanczos", "tridiag_eigh", "matfunc_apply", "matfunc_apply_multi",
+           "expm_apply", "MATFUNCS"]
+
+# TPU MXU matmuls default to bfloat16 inputs; for the Lanczos projections,
+# the T eigendecomposition, and the coefficient solve that precision loss
+# compounds into ~1e-2 energy drift per 50 Gautschi steps (measured: CPU f32
+# drifts 1.6e-4, TPU f32 with default precision 1.65e-2 on the same run).
+# Every dot/matmul in this module therefore pins HIGHEST (full f32) —
+# these are bandwidth-bound GEMVs and 10x10 ops, so the cost is nil.
+_HI = jax.lax.Precision.HIGHEST
 
 
 def _sinc(x):
@@ -125,7 +134,7 @@ def _lanczos_cols(matvec, u, m, reorth=True, axis_names=()):
         return jnp.sqrt(s).astype(rdtype)
 
     def vdot(a, b):
-        return gsum(jnp.vdot(a.reshape(-1), b.reshape(-1)))
+        return gsum(jnp.vdot(a.reshape(-1), b.reshape(-1), precision=_HI))
 
     beta0 = gnorm(u)
     v0 = (u / beta0).astype(u.dtype)
@@ -160,9 +169,10 @@ def _lanczos_cols(matvec, u, m, reorth=True, axis_names=()):
             # quotient is identical, the reorth correction agrees to
             # rounding (tests/test_krylov.py pins both).
             Vm = jnp.stack([v.reshape(n) for v in vs])      # (j+1, n)
-            proj = gsum(jnp.conj(Vm) @ w.reshape(n))        # (j+1,)
+            proj = gsum(jnp.matmul(jnp.conj(Vm), w.reshape(n),
+                                   precision=_HI))          # (j+1,)
             a = jnp.real(proj[j]).astype(rdtype)
-            w = w - (proj @ Vm).reshape(u.shape)
+            w = w - jnp.matmul(proj, Vm, precision=_HI).reshape(u.shape)
         else:
             a = jnp.real(vdot(vj, w)).astype(rdtype)
             w = w - a * vj
@@ -175,9 +185,15 @@ def _lanczos_cols(matvec, u, m, reorth=True, axis_names=()):
 
 
 def tridiag_eigh(alpha, beta):
-    """Eigendecomposition of the real symmetric tridiagonal T(alpha, beta)."""
+    """Eigendecomposition of the real symmetric tridiagonal T(alpha, beta).
+
+    Pinned to full-f32 matmul precision: eigh's internal QDWH/Jacobi matmuls
+    at TPU default (bf16) precision corrupt the eigenvectors at ~1e-3, which
+    dominates the whole matfunc's error budget (see _HI note above).
+    """
     T = jnp.diag(alpha) + jnp.diag(beta, 1) + jnp.diag(beta, -1)
-    return jnp.linalg.eigh(T)
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.eigh(T)
 
 
 def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
@@ -190,7 +206,25 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     redundantly per shard (it is replicated after the psums), which costs
     nothing and needs no extra communication.
     """
-    fused = _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names)
+    return matfunc_apply_multi(matvec, u, ((t, func),), m=m, reorth=reorth,
+                               axis_names=axis_names)[0]
+
+
+def matfunc_apply_multi(matvec, u, specs, m=default_krylov_m, reorth=True,
+                        axis_names=()):
+    """[f1(t1 L) u, f2(t2 L) u, ...] from ONE Lanczos decomposition of u.
+
+    `specs` is a sequence of (t, func) pairs. All outputs share the same
+    Krylov basis V and tridiagonal T, so each result is BIT-IDENTICAL to a
+    standalone matfunc_apply call with that spec — Lanczos is deterministic
+    in u — while the expensive iteration (matvecs + reorthogonalization) runs
+    once. The reference always re-runs Lanczos per matfunc even on the same
+    vector (e.g. the Gautschi step's filter + cos pair, sg_single_solver.hpp:
+    52-57 — 3 Lanczos runs where 2 suffice); this is the TPU build's structural
+    win on every Gautschi-type stepper. Returns a tuple, one field per spec.
+    """
+    specs = tuple(specs)
+    fused = _fused_pallas_path(matvec, u, specs, m, reorth, axis_names)
     if fused is not None:
         return fused
     vs, alphas, betas, beta0 = _lanczos_cols(matvec, u, m, reorth=reorth,
@@ -200,22 +234,28 @@ def matfunc_apply(matvec, u, t, func, m=default_krylov_m, reorth=True,
     alpha = jnp.stack(alphas + [zero]) if alphas else jnp.zeros((m,), rdtype)
     beta = jnp.stack(betas) if betas else jnp.zeros((0,), rdtype)
     lam, Q = tridiag_eigh(alpha, beta)
-    f = MATFUNCS[func] if isinstance(func, str) else func
-    fvals = f(np.asarray(t), lam)   # numpy scalar: safe jit constant
-    # y = beta0 * V (Q f(D) Q^T e1); Q^T e1 is Q's first row. The tiny
-    # m-vector algebra may promote to 64-bit (np scalar t under x64); the
-    # field-sized result always stays in the state dtype — otherwise a
-    # float32 scan carry silently becomes float64 mid-trajectory.
-    coef = (beta0 * (Q @ (fvals * Q[0, :]))).astype(u.dtype)
-    # Fused multiply-add chain over the live columns: one HBM pass, no
-    # contiguous (m, n) stack of the basis (see _lanczos_cols docstring).
-    out = coef[0] * vs[0]
-    for i in range(1, m):
-        out = out + coef[i] * vs[i]
-    return out.astype(u.dtype)
+    outs = []
+    for t, func in specs:
+        f = MATFUNCS[func] if isinstance(func, str) else func
+        fvals = f(np.asarray(t), lam)   # numpy scalar: safe jit constant
+        # y = beta0 * V (Q f(D) Q^T e1); Q^T e1 is Q's first row. The tiny
+        # m-vector algebra may promote to 64-bit (np scalar t under x64); the
+        # field-sized result always stays in the state dtype — otherwise a
+        # float32 scan carry silently becomes float64 mid-trajectory.
+        coef = (beta0 * jnp.matmul(Q, fvals * Q[0, :],
+                                   precision=_HI)).astype(u.dtype)
+        # Fused multiply-add chain over the live columns: one HBM pass, no
+        # contiguous (m, n) stack of the basis (see _lanczos_cols docstring).
+        # Multiple specs re-walk the same columns; XLA fuses the chains into
+        # one read of each v_i.
+        out = coef[0] * vs[0]
+        for i in range(1, m):
+            out = out + coef[i] * vs[i]
+        outs.append(out.astype(u.dtype))
+    return tuple(outs)
 
 
-def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
+def _fused_pallas_path(matvec, u, specs, m, reorth, axis_names):
     """Dispatch to the fused Pallas Lanczos kernels (ops/pallas/lanczos2d)
     when the operator carries a descriptor and the configuration allows it.
     Returns None when the pure-XLA path should run instead. The fused path
@@ -236,7 +276,7 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
     use, interpret = pallas_dispatch()
     if not use:
         return None
-    from nlsolvers_tpu.ops.pallas.lanczos2d import (matfunc_apply_planar,
+    from nlsolvers_tpu.ops.pallas.lanczos2d import (matfunc_apply_planar_multi,
                                                     supported_desc)
     if not supported_desc(desc, u.shape, u.dtype):
         return None
@@ -247,14 +287,16 @@ def _fused_pallas_path(matvec, u, t, func, m, reorth, axis_names):
     if u.dtype == jnp.complex64:
         planar = jnp.stack([jnp.real(u).reshape(planar_shape),
                             jnp.imag(u).reshape(planar_shape)])
-        out = matfunc_apply_planar(planar, desc, t, func, m,
-                                   interpret=interpret,
-                                   axis_names=axis_names)
-        return lax.complex(out[0], out[1]).reshape(u.shape).astype(u.dtype)
+        outs = matfunc_apply_planar_multi(planar, desc, specs, m,
+                                          interpret=interpret,
+                                          axis_names=axis_names)
+        return tuple(lax.complex(o[0], o[1]).reshape(u.shape).astype(u.dtype)
+                     for o in outs)
     planar = u.reshape(planar_shape)[None].astype(jnp.float32)
-    out = matfunc_apply_planar(planar, desc, t, func, m, interpret=interpret,
-                               axis_names=axis_names)
-    return out[0].reshape(u.shape).astype(u.dtype)
+    outs = matfunc_apply_planar_multi(planar, desc, specs, m,
+                                      interpret=interpret,
+                                      axis_names=axis_names)
+    return tuple(o[0].reshape(u.shape).astype(u.dtype) for o in outs)
 
 
 def expm_apply(matvec, u, t, m=default_krylov_m, reorth=True, axis_names=()):

@@ -41,8 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nlsolvers_tpu.ops.krylov import MATFUNCS, tridiag_eigh
 
-__all__ = ["matvec_descriptor", "matfunc_apply_planar", "supported_desc",
-           "lanczos_planar"]
+__all__ = ["matvec_descriptor", "matfunc_apply_planar",
+           "matfunc_apply_planar_multi", "supported_desc", "lanczos_planar"]
 
 # Per-kernel VMEM target. The default scoped limit is 16 MB but v5e has 128
 # MB physical VMEM (empirically up to >=100 MB usable via
@@ -864,6 +864,20 @@ def matfunc_apply_planar(u, desc, t, func, m, interpret=False,
     With axis_names (shard2d descriptors) it runs on spatially sharded
     grids inside shard_map.
     """
+    return matfunc_apply_planar_multi(u, desc, ((t, func),), m,
+                                      interpret=interpret,
+                                      axis_names=axis_names)[0]
+
+
+def matfunc_apply_planar_multi(u, desc, specs, m, interpret=False,
+                               axis_names=()):
+    """[f(t L) u for (t, f) in specs] from ONE fused-kernel Lanczos run.
+
+    The expensive part (the two-kernel iteration over W) runs once; each
+    spec only adds its own coefficient solve on the shared tridiagonal and a
+    final MAC pass over the columns (XLA fuses the chains into one read of
+    each W_i). See ops/krylov.matfunc_apply_multi for the semantics.
+    """
     P = u.shape[0]
     W, s, alphas, betas, beta0 = lanczos_planar(u, desc, m,
                                                 interpret=interpret,
@@ -873,24 +887,30 @@ def matfunc_apply_planar(u, desc, t, func, m, interpret=False,
                                                                 jnp.float32)
     beta = jnp.stack(betas) if betas else jnp.zeros((0,), jnp.float32)
     lam, Q = tridiag_eigh(alpha, beta)
-    f = MATFUNCS[func] if isinstance(func, str) else func
-    fvals = f(np.asarray(t), lam)
-    coef = beta0 * (Q @ (fvals * Q[0, :]))     # (m,) real or complex
-    # y = sum_i coef_i v_i = sum_i (coef_i s_i) W_i — one fused MAC pass.
     svec = [jnp.asarray(si, jnp.float32) for si in s]
-    if P == 1:
+    outs = []
+    for t, func in specs:
+        f = MATFUNCS[func] if isinstance(func, str) else func
+        fvals = f(np.asarray(t), lam)
+        # full-f32 matmul precision: see ops/krylov._HI
+        coef = beta0 * jnp.matmul(Q, fvals * Q[0, :],
+                                  precision=jax.lax.Precision.HIGHEST)
+        # y = sum_i coef_i v_i = sum_i (coef_i s_i) W_i — one fused MAC pass.
+        if P == 1:
+            cr = jnp.real(coef).astype(jnp.float32)
+            out = (cr[0] * svec[0]) * W[0][0]
+            for i in range(1, m):
+                out = out + (cr[i] * svec[i]) * W[i][0]
+            outs.append(out[None])
+            continue
         cr = jnp.real(coef).astype(jnp.float32)
-        out = (cr[0] * svec[0]) * W[0][0]
+        ci = jnp.imag(coef).astype(jnp.float32)
+        a, b = cr[0] * svec[0], ci[0] * svec[0]
+        y0 = a * W[0][0] - b * W[0][1]
+        y1 = a * W[0][1] + b * W[0][0]
         for i in range(1, m):
-            out = out + (cr[i] * svec[i]) * W[i][0]
-        return out[None]
-    cr = jnp.real(coef).astype(jnp.float32)
-    ci = jnp.imag(coef).astype(jnp.float32)
-    a, b = cr[0] * svec[0], ci[0] * svec[0]
-    y0 = a * W[0][0] - b * W[0][1]
-    y1 = a * W[0][1] + b * W[0][0]
-    for i in range(1, m):
-        a, b = cr[i] * svec[i], ci[i] * svec[i]
-        y0 = y0 + a * W[i][0] - b * W[i][1]
-        y1 = y1 + a * W[i][1] + b * W[i][0]
-    return jnp.stack([y0, y1])
+            a, b = cr[i] * svec[i], ci[i] * svec[i]
+            y0 = y0 + a * W[i][0] - b * W[i][1]
+            y1 = y1 + a * W[i][1] + b * W[i][0]
+        outs.append(jnp.stack([y0, y1]))
+    return tuple(outs)

@@ -76,7 +76,8 @@ def build_parser():
                              "the TPU replacement for SLURM-array farming")
 
     nlse = sub.add_parser("nlse", help="complex NLSE family")
-    common(nlse, NLSE_SYSTEMS, "cubic", ["ss2", "sewi", "gautschi"], "ss2")
+    common(nlse, NLSE_SYSTEMS, "cubic",
+           ["ss2", "sewi", "sewi_fused", "gautschi"], "ss2")
     nlse.add_argument("--sigma1", type=float, default=1.0)
     nlse.add_argument("--sigma2", type=float, default=-0.1)
     nlse.add_argument("--kappa", type=float, default=1.0)

@@ -92,7 +92,7 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
     dx = 2.0 * Lx / (nx - 1)
     lap_of = _lap_builder(shape, dx, variant, rdtype)
     neumann = _neumann(shape, apply_bc)
-    two_state = integrator in ("sewi", "gautschi")
+    two_state = integrator in ("sewi", "sewi_fused", "gautschi")
 
     def single_step(state, i, m_f, c_f):
         lap = lap_of(c_f)
@@ -102,8 +102,12 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
             u = nlse_mod.ss2_step(state, lap, rho, dt, m=krylov_m,
                                   reorth=reorth)
             return neumann(u)
-        two_step = (nlse_mod.sewi_step if integrator == "sewi"
-                    else nlse_mod.gautschi_step)
+        if integrator == "sewi":
+            two_step = nlse_mod.sewi_step
+        elif integrator == "sewi_fused":
+            two_step = partial(nlse_mod.sewi_step, fuse_exp_sinc=True)
+        else:
+            two_step = nlse_mod.gautschi_step
         u, u_prev = state
 
         def boot(_):
@@ -186,6 +190,12 @@ def make_realwave_trajectory_fn(kind, shape, Lx, dt, *, integrator="gautschi",
                 u, u_past, key, lap, m_f, dt, noise_strength)
         elif integrator == "gautschi":
             omega2 = lambda w: -lap(w)
+            base_desc = getattr(lap, "_pallas_desc", None)
+            if base_desc is not None:
+                # sign-flipped descriptor so the fused Pallas Lanczos path
+                # applies in sweeps too (same wiring as models/problems.py)
+                omega2._pallas_desc = dict(base_desc,
+                                           sign=-base_desc["sign"])
             u_new, u_past_new = rw.gautschi_step(
                 u, u_past, omega2, m_f, g, dt, m=krylov_m,
                 filter_func=filter_func, reorth=reorth)

@@ -179,3 +179,41 @@ def test_matfunc_matrix_free_stencil_matches_dense():
                              "cos_sqrt", m=10)
     b = krylov.matfunc_apply(stencil, jnp.asarray(u), 0.01, "cos_sqrt", m=10)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_matfunc_apply_multi_matches_singles():
+    """One shared Lanczos decomposition == separate per-func runs (exactly:
+    Lanczos is deterministic in u, so the Gautschi filter/cos sharing in
+    models/realwave.gautschi_step changes nothing numerically)."""
+    n_int = 16
+    nf = n_int + 2
+    dx = 0.15
+    L = ref.build_laplacian_noflux(n_int, n_int, dx, dx)
+    mv = dense_matvec(-L)
+    u = jnp.asarray(RNG.standard_normal((nf, nf)))
+    dt = 1e-2
+    specs = ((dt, "id_sqrt"), (dt, "cos_sqrt"), (dt / 2, "sinc2_sqrt_half"))
+    outs = krylov.matfunc_apply_multi(mv, u, specs, m=10)
+    assert len(outs) == 3
+    for (t, func), got in zip(specs, outs):
+        single = krylov.matfunc_apply(mv, u, t, func, m=10)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                                   rtol=1e-13, atol=1e-13)
+
+
+def test_matfunc_apply_multi_complex_exp():
+    """Multi with complex t (SS2's tau = i dt) on a complex field."""
+    n_int = 12
+    nf = n_int + 2
+    dx = 0.2
+    L = ref.build_laplacian_noflux(n_int, n_int, dx, dx)
+    mv = dense_matvec(L)
+    u = jnp.asarray((RNG.standard_normal((nf, nf))
+                     + 1j * RNG.standard_normal((nf, nf))))
+    tau = 1j * 1e-3
+    outs = krylov.matfunc_apply_multi(mv, u, ((tau, "exp"), (1e-3, "sinc")),
+                                      m=12)
+    for (t, func), got in zip(((tau, "exp"), (1e-3, "sinc")), outs):
+        single = krylov.matfunc_apply(mv, u, t, func, m=12)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                                   rtol=1e-13, atol=1e-13)

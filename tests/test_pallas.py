@@ -333,3 +333,43 @@ def test_sharded_aniso_fused_matches_xla(interp_mode):
     ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf),
                               jnp.asarray(c)))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_matfunc_planar_multi_matches_singles():
+    """Fused-path multi-spec apply == per-spec fused applies (shared W, T)."""
+    n, m = 64, 8
+    lap, _ = _lap(n)
+    desc = dict(lap._pallas_desc, sign=-1.0)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal((n, n)), jnp.float32)[None]
+    dt = 1e-2
+    specs = ((dt, "id_sqrt"), (dt, "cos_sqrt"))
+    outs = lanczos2d.matfunc_apply_planar_multi(u, desc, specs, m,
+                                                interpret=True)
+    for (t, func), got in zip(specs, outs):
+        single = lanczos2d.matfunc_apply_planar(u, desc, t, func, m,
+                                                interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(single),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_engine_realwave_gautschi_fused_dispatch(interp_mode):
+    """Datagen engine realwave path: the sign-flipped descriptor routes the
+    vmapped Gautschi step through the fused kernels; parity vs XLA path."""
+    from nlsolvers_tpu.pipeline.engine import make_realwave_trajectory_fn
+
+    n, B = 128, 2
+    LX, dt = 5.0, 1e-3
+    rng = np.random.default_rng(5)
+    x = np.linspace(-LX, LX, n, dtype=np.float32)
+    u0 = np.stack([4 * np.arctan(np.exp(-(x[:, None] + 0.3 * b)))
+                   * np.ones((n, n), np.float32) for b in range(B)])
+    v0 = np.zeros_like(u0)
+    m = (1.0 + 0.1 * rng.standard_normal((B, n, n))).astype(np.float32)
+    fn = make_realwave_trajectory_fn("sine_gordon", (n, n), LX, dt,
+                                     integrator="gautschi", krylov_m=6,
+                                     dtype=jnp.float32, use_c=False)
+    got = np.asarray(fn(u0, v0, m, None, 2, 2)[0])
+    config.pallas_mode = "off"
+    ref = np.asarray(fn(u0, v0, m, None, 2, 2)[0])
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)

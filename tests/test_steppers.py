@@ -220,3 +220,24 @@ def test_realwave_3d_smoke():
     for i in range(3):
         state = prob.step(state, i + 1)
     assert np.all(np.isfinite(np.asarray(state[0])))
+
+
+def test_nlse_sewi_fused_close_to_sequential():
+    """sewi_fused applies exp(i dt L) sinc(dt L) in one Krylov projection;
+    it is a different (equally accurate) approximation, so trajectories stay
+    close to plain sewi at the Krylov-error scale."""
+    m = RNG.uniform(0.5, 1.5, (NF, NF))
+    u = gaussian_ic(NF, complex_=True, k=2.0)
+    out = {}
+    for integ in ("sewi", "sewi_fused"):
+        prob = problems.nlse_problem("cubic", (NF, NF), LX, DT,
+                                     m_field=m, krylov_m=12,
+                                     integrator=integ,
+                                     dtype=jnp.complex128)
+        state = prob.init(u)
+        for i in range(1, 6):
+            state = prob.step(state, i)
+        out[integ] = np.asarray(prob.observe(state))
+    scale = np.linalg.norm(out["sewi"])
+    assert np.linalg.norm(out["sewi"] - out["sewi_fused"]) / scale < 1e-8
+    # and the bootstrap step (i == 1) is identical by construction
