@@ -59,8 +59,13 @@ def sewi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
     """
     tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
     if fuse_exp_sinc:
-        exp_sinc = lambda t, lam: (MATFUNCS["exp"](t, lam)
-                                   * MATFUNCS["sinc"](dt, lam))
+        # NB asymmetric on purpose: the exp factor takes imaginary time tau
+        # (passed as t below) while the sinc factor takes REAL dt, matching
+        # the sequential form's sinc(dt L) then exp(tau L). Both are written
+        # explicitly so the fused function stays correct even if a caller
+        # passes a t != tau.
+        exp_sinc = lambda _t, lam: (MATFUNCS["exp"](tau, lam)
+                                    * MATFUNCS["sinc"](dt, lam))
         e1 = matfunc_apply(lap, _B(u, rho_fn), tau, exp_sinc, m=m,
                            reorth=reorth, axis_names=axis_names)
     else:

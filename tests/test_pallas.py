@@ -371,5 +371,10 @@ def test_engine_realwave_gautschi_fused_dispatch(interp_mode):
                                      dtype=jnp.float32, use_c=False)
     got = np.asarray(fn(u0, v0, m, None, 2, 2)[0])
     config.pallas_mode = "off"
-    ref = np.asarray(fn(u0, v0, m, None, 2, 2)[0])
+    # Rebuild the trajectory fn: `fn` is jitted, so calling it again after the
+    # mode flip would hit the jit cache and compare the fused output to itself.
+    fn_ref = make_realwave_trajectory_fn("sine_gordon", (n, n), LX, dt,
+                                         integrator="gautschi", krylov_m=6,
+                                         dtype=jnp.float32, use_c=False)
+    ref = np.asarray(fn_ref(u0, v0, m, None, 2, 2)[0])
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
