@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Multi-HOST weak-scaling harness: datagen throughput vs process count.
+
+Each process simulates one host of a TPU pod (its own jax runtime + virtual
+CPU devices, gloo collectives over localhost — parallel/distributed.py) and
+runs a fixed per-host datagen workload through the REAL multi-host code path
+(tests/_multihost_worker.py): global batch mesh, per-host sampling, per-host
+HDF5 shard archiving. This is the testable local proxy for the BASELINE.md
+">= 85% weak scaling 1 -> 4 hosts" target; the reference analogue is the
+mpi4py farm (/root/reference/device/submit_nlse.py:80-137).
+
+Weak scaling: every host generates the same --num-runs; ideal scaling keeps
+per-host walltime flat as hosts are added (the batch axis needs no inter-host
+communication in the numerics — like the MPI farm, but one SPMD program).
+
+CAVEAT (this machine): N processes share the physical cores, so local
+efficiency is bounded by cores/(hosts*devices_per_host), not DCN — the
+summary reports the core-adjusted value alongside the raw one. On a real
+pod the raw number is the one that counts.
+
+Usage:
+  python benchmarks/multihost_scaling.py [--hosts 1,2] [--num-runs 4]
+         [--devices-per-host 1] [--nx 64] [--nt 200]
+Prints one JSON line per host count + a summary line.
+"""
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+WORKER = REPO / "tests" / "_multihost_worker.py"
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def run_cluster(nproc, args, outdir):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (str(REPO) + os.pathsep
+                         + env.get("PYTHONPATH", "")).rstrip(os.pathsep)
+    procs = []
+    t0 = time.time()
+    for pid in range(nproc):
+        cmd = [sys.executable, str(WORKER), "--pid", str(pid),
+               "--nproc", str(nproc), "--port", str(port),
+               "--devices-per-host", str(args.devices_per_host),
+               "--outdir", str(outdir),
+               "--num-runs", str(args.num_runs),
+               "--nx", str(args.nx), "--nt", str(args.nt),
+               "--T", str(args.nt * 1e-4),
+               "--snapshots", str(args.snapshots),
+               "--krylov-m", str(args.krylov_m), "--seed", "11"]
+        procs.append(subprocess.Popen(cmd, cwd=REPO, env=env,
+                                      stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for pid, p in enumerate(procs):
+        out, _ = p.communicate(timeout=1800)
+        if p.returncode != 0:
+            raise RuntimeError(f"host {pid} failed:\n{out}")
+        outs.append(json.loads(
+            [ln for ln in out.splitlines() if ln.startswith("{")][-1]))
+    wall = time.time() - t0
+    total_runs = sum(len(o["written"]) for o in outs)
+    return dict(hosts=nproc, wall_s=round(wall, 2),
+                max_host_elapsed_s=round(max(o["elapsed"] for o in outs), 2),
+                total_runs=total_runs,
+                runs_per_min=round(60.0 * total_runs / wall, 2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hosts", default="1,2")
+    ap.add_argument("--num-runs", type=int, default=4)
+    ap.add_argument("--devices-per-host", type=int, default=1)
+    ap.add_argument("--nx", type=int, default=64)
+    ap.add_argument("--nt", type=int, default=200)
+    ap.add_argument("--snapshots", type=int, default=8)
+    ap.add_argument("--krylov-m", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    host_counts = [int(h) for h in args.hosts.split(",")]
+    results = []
+    for n in host_counts:
+        with tempfile.TemporaryDirectory() as d:
+            r = run_cluster(n, args, d)
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    base = results[0]
+    last = results[-1]
+    # weak scaling: per-host throughput at N hosts vs at base hosts
+    eff = ((last["runs_per_min"] / last["hosts"])
+           / (base["runs_per_min"] / base["hosts"]))
+    cores = os.cpu_count() or 1
+    busy = last["hosts"] * args.devices_per_host
+    ceiling = min(1.0, cores / busy)
+    summary = dict(metric="multihost_weak_scaling_efficiency",
+                   value=round(eff, 3),
+                   hosts=f"{base['hosts']}->{last['hosts']}",
+                   core_adjusted=round(eff / ceiling, 3),
+                   contention_ceiling=round(ceiling, 3),
+                   physical_cores=cores)
+    print(json.dumps(summary), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -8,7 +8,7 @@ every Lanczos inner product / norm is a `psum` (ops/krylov.py axis_names).
 
 Everything runs inside `shard_map`; the helpers below build *local* operator
 closures that are drop-in replacements for the single-device stencils in
-ops/operators.py, verified bit-for-bit against them in tests/test_spatial.py.
+ops/operators.py, verified bit-for-bit against them in tests/test_parallel.py.
 
 Layout notes:
   * halo slabs are width-1; the edge shard of each mesh axis receives zeros

@@ -124,8 +124,17 @@ def config_from_args(args):
 
 
 def main(argv=None):
+    # Multi-host: if NLS_COORDINATOR/NLS_NUM_PROCESSES/NLS_PROCESS_ID are set
+    # (or a pod resource manager initialized jax.distributed already), every
+    # host runs this same CLI and the batch axis spans the global device
+    # mesh; num-runs is per host, archives are per-host shards.
+    from nlsolvers_tpu.parallel import distributed as dist
+
+    joined = dist.initialize_from_env()
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
+    if joined:
+        cfg.mesh = dist.global_mesh(("batch",))
     written = Datagen(cfg).run()
     print(f"wrote {len(written)} archives under {cfg.output_dir}/hdf5")
     return 0

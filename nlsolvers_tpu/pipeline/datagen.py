@@ -17,6 +17,7 @@ import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
 
+import jax
 import numpy as np
 
 from nlsolvers_tpu.pipeline import downsample as ds
@@ -29,6 +30,7 @@ from nlsolvers_tpu.pipeline.samplers.nlse2d import NLSEPhenomenonSampler
 from nlsolvers_tpu.pipeline.samplers.nlse3d import NLSE3DSampler
 from nlsolvers_tpu.pipeline.samplers.realwave2d import RealWaveSampler
 from nlsolvers_tpu.pipeline.samplers.realwave3d import RealWaveSampler3d
+from nlsolvers_tpu.parallel import distributed as dist
 
 __all__ = ["DatagenConfig", "Datagen", "draw_from_space"]
 
@@ -119,42 +121,60 @@ class Datagen:
     def __init__(self, config):
         self.cfg = config
         cfg = config
-        self.run_id = str(uuid.uuid4())[:8]
-        self.rng = np.random.default_rng(cfg.seed)
+        # Multi-host: in a jax.distributed process group every host runs this
+        # same code; the batch axis spans all hosts' devices, each host
+        # samples and archives only its own shard (parallel/distributed.py).
+        self.nproc = jax.process_count()
+        self.pid = jax.process_index()
+        if self.nproc > 1:
+            # deterministic id shared by all hosts (no bcast needed — the
+            # reference bcasts rank 0's run id, submit_nlse.py:96-102)
+            self.run_id = f"{cfg.seed & 0xFFFFFFFF:08x}"
+            seed_seq = dist.process_seed(cfg.seed, self.pid)
+            self.rng = np.random.default_rng(seed_seq)
+            sampler_seed = int(seed_seq.generate_state(2)[1])
+        else:
+            self.run_id = str(uuid.uuid4())[:8]
+            self.rng = np.random.default_rng(cfg.seed)
+            sampler_seed = cfg.seed
+        self._sampler_seed = sampler_seed
         self.grid = (Grid2D(cfg.nx, cfg.nx, cfg.Lx) if cfg.dim == 2
                      else Grid3D(cfg.nx, cfg.nx, cfg.nx, cfg.Lx))
 
         self.out = Path(cfg.output_dir)
         self.h5_dir = self.out / "hdf5"
         self.h5_dir.mkdir(parents=True, exist_ok=True)
-        self._write_manifest()
+        if self.pid == 0:
+            self._write_manifest()
 
+        engine_mesh = cfg.mesh if self.nproc == 1 else None
         if cfg.family == "nlse":
             self.sampler = (
-                NLSEPhenomenonSampler(cfg.nx, cfg.nx, cfg.Lx, seed=cfg.seed)
+                NLSEPhenomenonSampler(cfg.nx, cfg.nx, cfg.Lx,
+                                      seed=sampler_seed)
                 if cfg.dim == 2
                 else NLSE3DSampler(cfg.nx, cfg.nx, cfg.nx, cfg.Lx,
-                                   seed=cfg.seed))
+                                   seed=sampler_seed))
             self.space = self._space_for("nlse")
             self.traj_fn = make_nlse_trajectory_fn(
                 cfg.system, cfg.shape, cfg.Lx, cfg.dt,
                 integrator=cfg.integrator, krylov_m=cfg.krylov_m,
                 sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
                 dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
-                mesh=cfg.mesh, batch_axis=cfg.batch_axis)
+                mesh=engine_mesh, batch_axis=cfg.batch_axis)
         else:
             self.sampler = (
-                RealWaveSampler(cfg.nx, cfg.nx, cfg.Lx, seed=cfg.seed)
+                RealWaveSampler(cfg.nx, cfg.nx, cfg.Lx, seed=sampler_seed)
                 if cfg.dim == 2
                 else RealWaveSampler3d(cfg.nx, cfg.nx, cfg.nx, cfg.Lx,
-                                       seed=cfg.seed))
+                                       seed=sampler_seed))
             self.space = self._space_for("realwave")
             self.traj_fn = make_realwave_trajectory_fn(
                 cfg.system, cfg.shape, cfg.Lx, cfg.dt,
                 integrator=cfg.integrator, krylov_m=cfg.krylov_m,
                 noise_strength=cfg.noise_strength, seed=cfg.seed,
                 dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
-                mesh=cfg.mesh, batch_axis=cfg.batch_axis)
+                mesh=engine_mesh, batch_axis=cfg.batch_axis)
 
     def _space_for(self, family):
         cfg = self.cfg
@@ -237,21 +257,59 @@ class Datagen:
     # the device BEFORE batch k's snapshot stack is pulled back to the host
     # and archived — D2H (slow on this backend: utils/complexio.py) and
     # HDF5/downsample host work overlap the next batch's device time.
+    def _place(self, *arrays):
+        """Multi-host: assemble this host's blocks into global batch-sharded
+        arrays (collective). Single-process: passthrough — the engine itself
+        shards over cfg.mesh."""
+        if self.nproc == 1:
+            return arrays
+        return tuple(dist.make_global_batch(self.cfg.mesh, a,
+                                            self.cfg.batch_axis)
+                     for a in arrays)
+
+    def _host_rows(self, arr):
+        """(data, rows): this host's host-major block of the global batch
+        axis, assembled from addressable shards. Single-process: the whole
+        array.
+
+        The global batch is host-major (parallel/distributed.global_mesh +
+        make_array_from_process_local_data), so host p owns rows
+        [p*B_local, (p+1)*B_local) and local sample b maps to global row
+        p*B_local + b. Robust to XLA replicating the output: rows outside
+        our block (or duplicated) are dropped."""
+        if self.nproc == 1:
+            a = np.asarray(arr)
+            return a, np.arange(a.shape[0])
+        b_local = arr.shape[0] // self.nproc
+        start = self.pid * b_local
+        want = {}
+        for s, block in dist.local_shards(arr):
+            for j in range(block.shape[0]):
+                r = s + j
+                if start <= r < start + b_local and r not in want:
+                    want[r] = block[j]
+        if len(want) != b_local:
+            raise RuntimeError(
+                f"host {self.pid}: addressable shards cover rows "
+                f"{sorted(want)} but host-major block is "
+                f"[{start}, {start + b_local}) — non-host-major mesh?")
+        rows = np.arange(start, start + b_local)
+        return np.stack([want[r] for r in rows]), rows
+
     def _dispatch_nlse(self, u0s, m, c):
         cfg = self.cfg
         u0 = np.stack(u0s)
         packed = np.stack([u0.real, u0.imag], axis=1).astype(np.float32
                           if cfg.dtype == "complex64" else np.float64)
-        return self.traj_fn(packed, m.astype(packed.dtype),
-                            c.astype(packed.dtype), cfg.snapshots,
-                            cfg.snapshot_freq)
+        packed, m, c = self._place(packed, m.astype(packed.dtype),
+                                   c.astype(packed.dtype))
+        return self.traj_fn(packed, m, c, cfg.snapshots, cfg.snapshot_freq)
 
     def _evolve_nlse(self, u0s, m, c):
         return self._fetch_nlse(self._dispatch_nlse(u0s, m, c))
 
-    @staticmethod
-    def _fetch_nlse(dev_out):
-        out = np.asarray(dev_out)                   # (B, S, 2, *shape)
+    def _fetch_nlse(self, dev_out):
+        out, _ = self._host_rows(dev_out)           # (B, S, 2, *shape)
         return out[:, :, 0] + 1j * out[:, :, 1]     # complex (B, S, *shape)
 
     def _dispatch_realwave(self, u0s, v0s, m, c):
@@ -259,12 +317,12 @@ class Datagen:
         rdt = np.float32 if cfg.dtype == "float32" else np.float64
         u0 = np.stack(u0s).astype(rdt)
         v0 = np.stack(v0s).astype(rdt)
-        return self.traj_fn(u0, v0, m.astype(rdt), c.astype(rdt),
-                            cfg.snapshots, cfg.snapshot_freq)
+        u0, v0, m, c = self._place(u0, v0, m.astype(rdt), c.astype(rdt))
+        return self.traj_fn(u0, v0, m, c, cfg.snapshots, cfg.snapshot_freq)
 
     def _evolve_realwave(self, u0s, v0s, m, c):
         u_t, v_t = self._dispatch_realwave(u0s, v0s, m, c)
-        return np.asarray(u_t), np.asarray(v_t)
+        return self._host_rows(u_t)[0], self._host_rows(v_t)[0]
 
     def _downsample(self, traj):
         cfg = self.cfg
@@ -283,6 +341,11 @@ class Datagen:
         done = 0
         mesh_n = int(np.prod(list(cfg.mesh.shape.values()))) \
             if cfg.mesh is not None else 1
+        # Multi-host: each host samples its own local batch; the global
+        # (collective) batch is local*nproc, so the local pad quota is this
+        # host's device count. num_runs is PER HOST (like the MPI farm's
+        # per-rank run count, submit_nlse.py:104-127).
+        quota = mesh_n // self.nproc if self.nproc > 1 else mesh_n
 
         # plan the batches, then pipeline: dispatch k+1 before fetching k
         plan = []
@@ -294,8 +357,12 @@ class Datagen:
         pending = None     # (batch, metas, u0s, v0s, m, c, dev_out, t0)
         for batch in plan + [None]:
             if batch is not None:
-                pad = (-batch) % mesh_n   # sharded axis must divide mesh;
-                # pad by resampling, extras dropped when archiving
+                pad = (-batch) % quota    # sharded axis must divide mesh;
+                # pad by resampling, extras dropped when archiving. NB the
+                # pad runs consume sampler RNG draws, so for a fixed seed the
+                # archived ICs depend on mesh size whenever batch % mesh_n
+                # != 0; seeds are reproducible per (seed, mesh, batch_size),
+                # not portable across meshes.
                 metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
                 t0 = time.time()
                 if cfg.family == "nlse":
@@ -313,13 +380,16 @@ class Datagen:
                 u_traj = self._fetch_nlse(dev_out)
                 v_traj = None
             else:
-                u_traj = np.asarray(dev_out[0])
-                v_traj = np.asarray(dev_out[1])
+                u_traj = self._host_rows(dev_out[0])[0]
+                v_traj = self._host_rows(dev_out[1])[0]
             walltime = time.time() - t0
             per_run = walltime / batch
 
             for b in range(batch):
-                idx = done + b
+                # globally unique run index: host-major blocks, so a sweep's
+                # archive is the union of every host's hdf5/ dir (per-host
+                # shard writing — no cross-host IO)
+                idx = self.pid * cfg.num_runs + done + b
                 if not np.isfinite(u_traj[b]).all():
                     print(f"run {idx}: non-finite trajectory, skipping "
                           f"(phenomenon params {metas[b][0]})")
