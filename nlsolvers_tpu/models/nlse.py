@@ -85,10 +85,14 @@ def sewi_first_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
                     axis_names=axis_names), u
 
 
-def gautschi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True):
+def gautschi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
+                  axis_names=()):
     """Host comparison 'Gautschi' NLSE step; returns (u_new, u)."""
     tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
-    psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth)
-    e1 = expm_apply(lap, psi, -tau, m=m, reorth=reorth)
-    e2 = expm_apply(lap, u_prev, -2.0 * tau, m=m, reorth=reorth)
+    psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth,
+                        axis_names=axis_names)
+    e1 = expm_apply(lap, psi, -tau, m=m, reorth=reorth,
+                    axis_names=axis_names)
+    e2 = expm_apply(lap, u_prev, -2.0 * tau, m=m, reorth=reorth,
+                    axis_names=axis_names)
     return e2 + 2.0 * tau * e1, u

@@ -35,11 +35,14 @@ __all__ = [
     "halo_neighbor_sum",
     "sharded_laplacian_2d",
     "sharded_anisotropic_laplacian_2d",
+    "sharded_anisotropic_laplacian_3d",
     "sharded_neumann_2d",
     "sharded_laplacian_3d",
     "sharded_neumann_3d",
     "make_sharded_nlse_step",
     "make_sharded_realwave_step",
+    "make_sharded_nlse_trajectory_fn",
+    "make_sharded_realwave_trajectory_fn",
 ]
 
 
@@ -223,36 +226,88 @@ def sharded_anisotropic_laplacian_2d(global_shape, dx, dy, axis_names):
     def apply(u, c):
         lny, lnx = u.shape[-2:]
         gy, gx = _global_coords((lny, lnx), axis_names)
+        return (_aniso_flux_axis(u, c, -1, ax, gx, NX)
+                + _aniso_flux_axis(u, c, -2, ay, gy, NY)) * scale
 
-        # --- x faces -----------------------------------------------------
-        u_rcol = _recv_from_next(u[..., :, :1], ax)      # neighbor's col 0
-        c_rcol = _recv_from_next(c[..., :, :1], ax)
-        u_r = jnp.concatenate([u[..., :, 1:], u_rcol], axis=-1)
-        c_r = jnp.concatenate([c[..., :, 1:], c_rcol], axis=-1)
-        wx = 0.5 * (c + c_r)
-        fx = wx * (u_r - u)
-        fx = jnp.where(gx == NX - 1, 0.0, fx)            # no face past edge
-        u_lcol = _recv_from_prev(u[..., :, -1:], ax)     # neighbor's last col
-        c_lcol = _recv_from_prev(c[..., :, -1:], ax)
-        fx_edge = 0.5 * (c_lcol + c[..., :, :1]) * (u[..., :, :1] - u_lcol)
-        fx_l = jnp.concatenate([fx_edge, fx[..., :, :-1]], axis=-1)
-        fx_l = jnp.where(gx == 0, 0.0, fx_l)
+    return apply
 
-        # --- y faces -----------------------------------------------------
-        u_brow = _recv_from_next(u[..., :1, :], ay)
-        c_brow = _recv_from_next(c[..., :1, :], ay)
-        u_b = jnp.concatenate([u[..., 1:, :], u_brow], axis=-2)
-        c_b = jnp.concatenate([c[..., 1:, :], c_brow], axis=-2)
-        wy = 0.5 * (c + c_b)
-        fy = wy * (u_b - u)
-        fy = jnp.where(gy == NY - 1, 0.0, fy)
-        u_trow = _recv_from_prev(u[..., -1:, :], ay)
-        c_trow = _recv_from_prev(c[..., -1:, :], ay)
-        fy_edge = 0.5 * (c_trow + c[..., :1, :]) * (u[..., :1, :] - u_trow)
-        fy_t = jnp.concatenate([fy_edge, fy[..., :-1, :]], axis=-2)
-        fy_t = jnp.where(gy == 0, 0.0, fy_t)
 
-        return (fx - fx_l + fy - fy_t) * scale
+def _aniso_flux_axis(u, c, axis, axis_name, gc, N):
+    """Conservative flux divergence along ONE sharded axis: returns
+    f_i - f_{i-1} where f_i = 0.5(c_i + c_{i+1})(u_{i+1} - u_i), with
+    cross-shard faces from ppermute'd edge slabs of BOTH u and c and
+    no-flux (zero) faces at the global ends (mask by global coord `gc`).
+
+    Shared helper of sharded_anisotropic_laplacian_{2d,3d}; semantics match
+    the face terms of ops.operators.anisotropic_laplacian_* per axis
+    (laplacians.hpp:54-103, 158-218)."""
+    n = u.shape[axis]
+    u_first = lax.slice_in_dim(u, 0, 1, axis=axis)
+    u_last = lax.slice_in_dim(u, n - 1, n, axis=axis)
+    c_first = lax.slice_in_dim(c, 0, 1, axis=axis)
+    c_last = lax.slice_in_dim(c, n - 1, n, axis=axis)
+
+    u_next = jnp.concatenate([lax.slice_in_dim(u, 1, n, axis=axis),
+                              _recv_from_next(u_first, axis_name)],
+                             axis=axis)
+    c_next = jnp.concatenate([lax.slice_in_dim(c, 1, n, axis=axis),
+                              _recv_from_next(c_first, axis_name)],
+                             axis=axis)
+    f = 0.5 * (c + c_next) * (u_next - u)
+    f = jnp.where(gc == N - 1, 0.0, f)            # no face past the domain
+
+    u_prev_edge = _recv_from_prev(u_last, axis_name)
+    c_prev_edge = _recv_from_prev(c_last, axis_name)
+    f_edge = 0.5 * (c_prev_edge + c_first) * (u_first - u_prev_edge)
+    f_back = jnp.concatenate([f_edge,
+                              lax.slice_in_dim(f, 0, n - 1, axis=axis)],
+                             axis=axis)
+    f_back = jnp.where(gc == 0, 0.0, f_back)      # no face before the domain
+    return f - f_back
+
+
+def sharded_anisotropic_laplacian_3d(global_shape, dx, axis_names,
+                                     variant="clean"):
+    """Local closure for finite-volume div(c grad u) on a sharded 3D grid,
+    scaled 1/dx^2. Returns apply(u, c) — c is a per-call local field.
+
+    Semantics identical to ops.operators.anisotropic_laplacian_3d on the
+    gathered global array (laplacians.hpp:158-218). variant="clean"
+    (plane-local y faces) works under any sharding. variant="reference"
+    reproduces the merged (z*y)-axis face loop whose seam couples the last
+    y-row of each plane to the next plane's first row; that seam is only
+    shard-local when the z and y mesh axes are singletons — guarded with a
+    trace-time ValueError like sharded_laplacian_3d.
+    """
+    NZ, NY, NX = global_shape
+    az, ay, ax = axis_names
+    scale = 1.0 / (dx * dx)
+
+    def apply(u, c):
+        lnz, lny, lnx = u.shape[-3:]
+        gz, gy, gx = _global_coords_3d((lnz, lny, lnx), axis_names)
+        out = (_aniso_flux_axis(u, c, -1, ax, gx, NX)
+               + _aniso_flux_axis(u, c, -3, az, gz, NZ))
+        if variant == "clean":
+            out = out + _aniso_flux_axis(u, c, -2, ay, gy, NY)
+        elif variant == "reference":
+            if lnz != NZ or lny != NY:
+                raise ValueError(
+                    "variant='reference' 3D anisotropic sharding requires "
+                    "unsplit z and y axes (the merged-row seam is not "
+                    "shard-local); use variant='clean' or shard only gx")
+            R = lnz * lny
+            um = u.reshape(u.shape[:-3] + (R, lnx))
+            cm = c.reshape(c.shape[:-3] + (R, lnx))
+            wy = 0.5 * (cm[..., :-1, :] + cm[..., 1:, :])
+            fy = wy * (um[..., 1:, :] - um[..., :-1, :])
+            zrow = jnp.zeros(fy.shape[:-2] + (1, lnx), fy.dtype)
+            f = jnp.concatenate([fy, zrow], axis=-2)       # face to row+1
+            fb = jnp.concatenate([zrow, fy], axis=-2)      # face to row-1
+            out = out + (f - fb).reshape(u.shape)
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
+        return out * scale
 
     return apply
 
@@ -307,6 +362,28 @@ def _sharded_neumann(global_shape, axis_names):
     return sharded_neumann_3d(global_shape, axis_names)
 
 
+def _sharded_aniso(global_shape, dx, axis_names, variant):
+    if len(global_shape) == 2:
+        return sharded_anisotropic_laplacian_2d(global_shape, dx, dx,
+                                                axis_names)
+    return sharded_anisotropic_laplacian_3d(global_shape, dx, axis_names,
+                                            variant=variant)
+
+
+def _aniso_desc(global_shape, dx, axis_names, variant, cloc, sign):
+    """Per-call fused-kernel descriptor for the sharded anisotropic operator
+    (c is a tracer, so the descriptor is rebuilt at each trace)."""
+    if len(global_shape) == 2:
+        return dict(kind="shard2d_aniso", NY=global_shape[0],
+                    NX=global_shape[1], scale=1.0 / (dx * dx), sign=sign,
+                    variant="aniso", ay=axis_names[0], ax=axis_names[1],
+                    c=cloc)
+    return dict(kind="shard3d_aniso", NZ=global_shape[0], NY=global_shape[1],
+                NX=global_shape[2], scale=1.0 / (dx * dx), sign=sign,
+                variant=variant, az=axis_names[0], ay=axis_names[1],
+                ax=axis_names[2], c=cloc)
+
+
 def _spec(mesh_axes, batch_axis):
     if batch_axis is None:
         return P(*mesh_axes)
@@ -327,17 +404,14 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
     axis), m_field is (*grid) / (B, *grid). Shardings follow the mesh axes;
     3D grids take axis_names=("gz", "gy", "gx"). With use_c=True the step
     takes an extra anisotropy field and applies the finite-volume
-    div(c grad u) operator (2D only) with cross-shard face fluxes.
+    div(c grad u) operator with cross-shard face fluxes (2D and 3D).
     """
     nx = global_shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     rdtype = real_dtype_of(dtype)
 
     if use_c:
-        if len(global_shape) != 2:
-            raise ValueError("use_c sharding is 2D-only for now")
-        aniso = sharded_anisotropic_laplacian_2d(global_shape, dx, dx,
-                                                 axis_names)
+        aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
     else:
         lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
     neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
@@ -347,11 +421,8 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
         if use_c:
             op = lambda v: aniso(v, cloc)
             # per-call descriptor (c is a tracer) for the fused kernels
-            op._pallas_desc = dict(kind="shard2d_aniso", NY=global_shape[0],
-                                   NX=global_shape[1],
-                                   scale=1.0 / (dx * dx), sign=1.0,
-                                   variant="aniso", ay=axis_names[0],
-                                   ax=axis_names[1], c=cloc)
+            op._pallas_desc = _aniso_desc(global_shape, dx, axis_names,
+                                          variant, cloc, sign=1.0)
         else:
             op = lap
         rho = nlse_density(kind, mloc, sigma1=sigma1, sigma2=sigma2,
@@ -385,42 +456,249 @@ def make_sharded_realwave_step(kind, global_shape, Lx, dt, mesh,
                                axis_names=("gy", "gx"), batch_axis=None,
                                integrator="gautschi", krylov_m=10,
                                dtype=jnp.float32, variant="reference",
-                               apply_bc=True, reorth=True):
+                               apply_bc=True, reorth=True, use_c=False):
     """Builds a jitted real-wave step (Gautschi or SV) on a sharded grid.
 
     Returns step(u, u_past, m_field) -> (u_new, u) on GLOBAL (*grid) arrays
     (or (B, *grid) with batch_axis); 3D takes axis_names=("gz", "gy", "gx").
+    With use_c=True the step takes an extra anisotropy field and the
+    operator is the finite-volume div(c grad u) with cross-shard face
+    fluxes (the reference real-wave drivers' anisotropic L,
+    sg_single_solver.hpp:42-59).
     """
     dx = 2.0 * Lx / (global_shape[-1] - 1)
     rdtype = real_dtype_of(dtype)
     g = realwave_g(kind)
     filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
 
-    lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
-    omega2 = lambda u: -lap(u)
-    _d = getattr(lap, "_pallas_desc", None)
-    if _d is not None:
-        omega2._pallas_desc = dict(_d, sign=-_d["sign"])
+    if use_c:
+        aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
+    else:
+        lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
     neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
                else (lambda u: u))
 
-    def local_single(u, u_past, mloc):
+    def local_single(u, u_past, mloc, cloc=None):
+        if use_c:
+            op = lambda v: aniso(v, cloc)
+            op._pallas_desc = _aniso_desc(global_shape, dx, axis_names,
+                                          variant, cloc, sign=1.0)
+        else:
+            op = lap
         if integrator == "gautschi":
+            omega2 = lambda w: -op(w)
+            _d = getattr(op, "_pallas_desc", None)
+            if _d is not None:
+                omega2._pallas_desc = dict(_d, sign=-_d["sign"])
             u_new, u_past_new = rw.gautschi_step(
                 u, u_past, omega2, mloc, g, dt, m=krylov_m,
                 filter_func=filter_func, reorth=reorth,
                 axis_names=axis_names)
         else:
-            u_new, u_past_new = rw.sv_step(u, u_past, lap, mloc, g, dt)
+            u_new, u_past_new = rw.sv_step(u, u_past, op, mloc, g, dt)
         return neumann(u_new), u_past_new
 
-    def local_step(u, u_past, mloc):
+    def local_step(u, u_past, mloc, cloc=None):
         if batch_axis is None:
-            return local_single(u, u_past, mloc)
+            return local_single(u, u_past, mloc, cloc)
+        if use_c:
+            return jax.vmap(local_single)(u, u_past, mloc, cloc)
         return jax.vmap(local_single)(u, u_past, mloc)
 
     spec = _spec(axis_names, batch_axis)
-    sharded = jax.shard_map(local_step, mesh=mesh,
-                            in_specs=(spec, spec, spec),
+    in_specs = (spec, spec, spec) + ((spec,) if use_c else ())
+    if use_c:
+        fn = local_step
+    else:
+        fn = lambda u, u_past, mloc: local_step(u, u_past, mloc)
+    sharded = jax.shard_map(fn, mesh=mesh,
+                            in_specs=in_specs,
                             out_specs=(spec, spec), check_vma=False)
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Grid-sharded trajectory engines: the datagen path for single trajectories
+# too large for one chip (1024^2-256^3 configs — SURVEY.md section 5's
+# "long-context" axis, new capability over the reference's one-grid-one-GPU
+# model). Same contract as pipeline/engine.make_*_trajectory_fn, but the
+# WHOLE evolution scan runs inside shard_map: halos ppermute over ICI,
+# Lanczos reductions psum, snapshots stack shard-locally and come back as
+# one global array.
+# ---------------------------------------------------------------------------
+
+def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
+                                    axis_names=("gy", "gx"),
+                                    batch_axis=None, integrator="ss2",
+                                    sigma1=1.0, sigma2=-0.1, kappa=1.0,
+                                    krylov_m=10, dtype=jnp.complex64,
+                                    variant="reference", apply_bc=True,
+                                    reorth=True, use_c=True):
+    """Builds traj(u0_packed, m, c, num_snapshots, snapshot_freq) on a
+    spatially sharded grid.
+
+    u0_packed: (B, 2, *global_shape) real — stacked (real, imag).
+    m, c:      (B, *global_shape) real coefficient fields.
+    Returns    (B, S, 2, *global_shape) — same contract as
+    pipeline/engine.make_nlse_trajectory_fn, so pipeline/datagen.py can use
+    either engine interchangeably. The batch axis is unsharded (replicated
+    blocks per device) unless `batch_axis` names a mesh axis.
+    """
+    from nlsolvers_tpu.models.evolve import evolve
+
+    nx = global_shape[-1]
+    dx = 2.0 * Lx / (nx - 1)
+    rdtype = real_dtype_of(dtype)
+    two_state = integrator in ("sewi", "sewi_fused", "gautschi")
+
+    if use_c:
+        aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
+    else:
+        lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
+    neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
+               else (lambda u: u))
+
+    def op_of(cloc):
+        if not use_c:
+            return lap
+        op = lambda v: aniso(v, cloc)
+        op._pallas_desc = _aniso_desc(global_shape, dx, axis_names,
+                                      variant, cloc, sign=1.0)
+        return op
+
+    def single_step(state, i, mloc, cloc):
+        op = op_of(cloc)
+        rho = nlse_density(kind, mloc, sigma1=sigma1, sigma2=sigma2,
+                           kappa=kappa)
+        if integrator == "ss2":
+            u = nlse_mod.ss2_step(state, op, rho, dt, m=krylov_m,
+                                  reorth=reorth, axis_names=axis_names)
+            return neumann(u)
+        if integrator == "sewi":
+            two_step = nlse_mod.sewi_step
+        elif integrator == "sewi_fused":
+            two_step = partial(nlse_mod.sewi_step, fuse_exp_sinc=True)
+        else:
+            two_step = nlse_mod.gautschi_step
+        u, u_prev = state
+
+        def boot(_):
+            return nlse_mod.sewi_first_step(u, op, rho, dt, m=krylov_m,
+                                            reorth=reorth,
+                                            axis_names=axis_names)
+
+        def normal(_):
+            return two_step(u, u_prev, op, rho, dt, m=krylov_m,
+                            reorth=reorth, axis_names=axis_names)
+
+        u_new, u_prev_new = lax.cond(i == 1, boot, normal, None)
+        return neumann(u_new), u_prev_new
+
+    vstep = jax.vmap(single_step, in_axes=(0, None, 0, 0))
+    # batch dim is always present (sharded over batch_axis or replicated)
+    u_spec = P(batch_axis, None, *axis_names)
+    f_spec = P(batch_axis, *axis_names)
+    out_spec = P(batch_axis, None, None, *axis_names)
+
+    @partial(jax.jit, static_argnums=(3, 4))
+    def traj(u0_packed, m, c, num_snapshots, snapshot_freq):
+        def local(u0p, mloc, cloc):
+            u0 = lax.complex(u0p[:, 0].astype(rdtype),
+                             u0p[:, 1].astype(rdtype))
+            state0 = (u0, u0) if two_state else u0
+            observe = (lambda s: s[0]) if two_state else (lambda s: s)
+            step = lambda st, i: vstep(st, i, mloc, cloc)
+            snaps = evolve(step, state0, num_snapshots, snapshot_freq,
+                           observe=observe)               # (S, B, *local)
+            snaps = jnp.moveaxis(snaps, 0, 1)             # (B, S, *local)
+            return jnp.stack([jnp.real(snaps), jnp.imag(snaps)], axis=2)
+
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(u_spec, f_spec, f_spec),
+                             out_specs=out_spec, check_vma=False)(
+            u0_packed, m, c)
+
+    return traj
+
+
+def make_sharded_realwave_trajectory_fn(kind, global_shape, Lx, dt, mesh,
+                                        axis_names=("gy", "gx"),
+                                        batch_axis=None,
+                                        integrator="gautschi", krylov_m=10,
+                                        dtype=jnp.float32,
+                                        variant="reference", apply_bc=True,
+                                        reorth=True, use_c=True):
+    """Builds traj(u0, v0, m, c, num_snapshots, snapshot_freq) on a
+    spatially sharded grid; same contract as
+    pipeline/engine.make_realwave_trajectory_fn: (B, *shape) inputs,
+    (u_traj, v_traj) outputs each (B, S, *shape) with v = (u - u_past)/dt
+    (kg_driver.cpp:112). Gautschi and SV integrators; stochastic phi-4 is
+    not grid-shardable (per-point noise would need globally consistent
+    per-shard streams) — use the batch engine for it.
+    """
+    from nlsolvers_tpu.models.evolve import evolve
+
+    if kind == "stochastic_phi4":
+        raise ValueError("stochastic_phi4 is not supported on sharded "
+                         "grids; use pipeline/engine (batch sharding)")
+    nx = global_shape[-1]
+    dx = 2.0 * Lx / (nx - 1)
+    rdtype = real_dtype_of(dtype)
+    g = realwave_g(kind)
+    filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
+
+    if use_c:
+        aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
+    else:
+        lap = _sharded_lap(global_shape, dx, axis_names, variant, rdtype)
+    neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
+               else (lambda u: u))
+
+    def single_step(state, i, mloc, cloc):
+        if use_c:
+            op = lambda v: aniso(v, cloc)
+            op._pallas_desc = _aniso_desc(global_shape, dx, axis_names,
+                                          variant, cloc, sign=1.0)
+        else:
+            op = lap
+        u, u_past = state
+        if integrator == "gautschi":
+            omega2 = lambda w: -op(w)
+            _d = getattr(op, "_pallas_desc", None)
+            if _d is not None:
+                omega2._pallas_desc = dict(_d, sign=-_d["sign"])
+            u_new, u_past_new = rw.gautschi_step(
+                u, u_past, omega2, mloc, g, dt, m=krylov_m,
+                filter_func=filter_func, reorth=reorth,
+                axis_names=axis_names)
+        else:
+            u_new, u_past_new = rw.sv_step(u, u_past, op, mloc, g, dt)
+        return neumann(u_new), u_past_new
+
+    vstep = jax.vmap(single_step, in_axes=(0, None, 0, 0))
+    # batch dim is always present (sharded over batch_axis or replicated)
+    f_spec = P(batch_axis, *axis_names)
+    out_spec = P(batch_axis, None, *axis_names)
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def traj(u0, v0, m, c, num_snapshots, snapshot_freq):
+        def local(u0, v0, mloc, cloc):
+            u0 = jnp.asarray(u0, rdtype)
+            v0 = jnp.asarray(v0, rdtype)
+            state0 = (u0, u0 - dt * v0)    # u_past = u0 - dt v0
+            step = lambda st, i: vstep(st, i, mloc, cloc)
+
+            def observe(st):
+                u, u_past = st
+                return u, (u - u_past) / dt
+
+            u_s, v_s = evolve(step, state0, num_snapshots, snapshot_freq,
+                              observe=observe)            # (S, B, *local)
+            return jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1)
+
+        return jax.shard_map(local, mesh=mesh,
+                             in_specs=(f_spec, f_spec, f_spec, f_spec),
+                             out_specs=(out_spec, out_spec),
+                             check_vma=False)(u0, v0, m, c)
+
+    return traj

@@ -17,9 +17,19 @@ Examples:
 """
 
 import argparse
+import os
 import sys
 
 from nlsolvers_tpu.pipeline.datagen import Datagen, DatagenConfig
+
+# the axon site hook overrides JAX_PLATFORMS at import; re-assert the env
+# request before any backend initializes (same mechanism as tests/conftest.py
+# and benchmarks/weak_scaling.py)
+_want_platform = os.environ.get("JAX_PLATFORMS")
+if _want_platform:
+    import jax
+
+    jax.config.update("jax_platforms", _want_platform)
 
 NLSE_SYSTEMS = ["cubic", "cubic_quintic", "saturable"]
 REALWAVE_SYSTEMS = ["sine_gordon", "double_sine_gordon",
@@ -74,6 +84,13 @@ def build_parser():
                         help="shard the trajectory batch over this many "
                              "devices (-1 = all local devices, 0 = off); "
                              "the TPU replacement for SLURM-array farming")
+        sp.add_argument("--shard-grid", type=str, default="",
+                        help="comma-separated mesh extents per grid axis "
+                             "(2D: 'gy,gx' e.g. 2,4; 3D: 'gz,gy,gx'): shard "
+                             "EACH trajectory's grid spatially over devices "
+                             "— for single runs too large for one chip. "
+                             "Combine with --shard-batch N for a "
+                             "(batch, *grid) mesh")
 
     nlse = sub.add_parser("nlse", help="complex NLSE family")
     common(nlse, NLSE_SYSTEMS, "cubic",
@@ -90,20 +107,38 @@ def build_parser():
     return p
 
 
-def _batch_mesh(n):
-    if not n:
+def _build_mesh(shard_batch, shard_grid, dim):
+    """Mesh from the CLI sharding flags: batch-only, grid-only (left to
+    Datagen), or a combined (batch, *grid) mesh."""
+    if not shard_batch and not shard_grid:
         return None
+    if shard_grid and not shard_batch:
+        return None     # Datagen builds the grid-only mesh itself
     import jax
 
     from nlsolvers_tpu.parallel.mesh import make_mesh
 
     devices = jax.devices()
-    if n < 0 or n > len(devices):
-        n = len(devices)
-    return make_mesh(("batch",), shape=(n,), devices=devices[:n])
+    n = shard_batch
+    if not shard_grid:
+        if n < 0 or n > len(devices):
+            n = len(devices)
+        return make_mesh(("batch",), shape=(n,), devices=devices[:n])
+    import numpy as np
+
+    grid_n = int(np.prod(shard_grid))
+    if n < 0:
+        n = max(1, len(devices) // grid_n)
+    axes = (("batch", "gy", "gx") if dim == 2
+            else ("batch", "gz", "gy", "gx"))
+    total = n * grid_n
+    return make_mesh(axes, shape=(n,) + tuple(shard_grid),
+                     devices=devices[:total])
 
 
 def config_from_args(args):
+    shard_grid = (tuple(int(x) for x in args.shard_grid.split(","))
+                  if args.shard_grid else ())
     kwargs = dict(
         family=args.family, phenomenon=args.phenomenon, system=args.system,
         dim=args.dim, nx=args.nx, Lx=args.Lx, T=args.T, nt=args.nt,
@@ -113,7 +148,8 @@ def config_from_args(args):
         m0=args.m0, krylov_m=args.krylov_m, dtype=args.dtype,
         variant=args.variant, dr_target=args.dr_target,
         dr_strategy=args.dr_strategy, seed=args.seed,
-        output_dir=args.output_dir, mesh=_batch_mesh(args.shard_batch))
+        output_dir=args.output_dir, shard_grid=shard_grid,
+        mesh=_build_mesh(args.shard_batch, shard_grid, args.dim))
     if args.family == "nlse":
         kwargs.update(sigma1=args.sigma1, sigma2=args.sigma2,
                       kappa=args.kappa,

@@ -78,11 +78,20 @@ class DatagenConfig:
     output_dir: str = "datagen_out"
     mesh: object = None              # jax Mesh to shard the batch axis over
     batch_axis: str = "batch"
+    shard_grid: tuple = ()           # e.g. (2, 4): shard EACH grid over the
+    #                                  mesh's spatial axes (gy, gx) /
+    #                                  (gz, gy, gx) — for single trajectories
+    #                                  too large for one chip
     normalize_ic: bool = True        # NLSE only (complex_launcher_2d.py:95)
 
     def __post_init__(self):
         assert self.family in ("nlse", "realwave")
         assert self.dim in (2, 3)
+        if self.shard_grid:
+            self.shard_grid = tuple(int(g) for g in self.shard_grid)
+            if len(self.shard_grid) != self.dim:
+                raise ValueError(f"shard_grid {self.shard_grid} must have "
+                                 f"one entry per grid axis (dim={self.dim})")
         if not self.integrator:
             self.integrator = "ss2" if self.family == "nlse" else "gautschi"
         if not self.dtype:
@@ -147,7 +156,6 @@ class Datagen:
         if self.pid == 0:
             self._write_manifest()
 
-        engine_mesh = cfg.mesh if self.nproc == 1 else None
         if cfg.family == "nlse":
             self.sampler = (
                 NLSEPhenomenonSampler(cfg.nx, cfg.nx, cfg.Lx,
@@ -156,12 +164,6 @@ class Datagen:
                 else NLSE3DSampler(cfg.nx, cfg.nx, cfg.nx, cfg.Lx,
                                    seed=sampler_seed))
             self.space = self._space_for("nlse")
-            self.traj_fn = make_nlse_trajectory_fn(
-                cfg.system, cfg.shape, cfg.Lx, cfg.dt,
-                integrator=cfg.integrator, krylov_m=cfg.krylov_m,
-                sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
-                dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
-                mesh=engine_mesh, batch_axis=cfg.batch_axis)
         else:
             self.sampler = (
                 RealWaveSampler(cfg.nx, cfg.nx, cfg.Lx, seed=sampler_seed)
@@ -169,12 +171,59 @@ class Datagen:
                 else RealWaveSampler3d(cfg.nx, cfg.nx, cfg.nx, cfg.Lx,
                                        seed=sampler_seed))
             self.space = self._space_for("realwave")
-            self.traj_fn = make_realwave_trajectory_fn(
+        self.traj_fn = self._build_traj_fn()
+
+    def _build_traj_fn(self):
+        cfg = self.cfg
+        if cfg.shard_grid:
+            return self._build_grid_sharded_traj_fn()
+        engine_mesh = cfg.mesh if self.nproc == 1 else None
+        if cfg.family == "nlse":
+            return make_nlse_trajectory_fn(
                 cfg.system, cfg.shape, cfg.Lx, cfg.dt,
                 integrator=cfg.integrator, krylov_m=cfg.krylov_m,
-                noise_strength=cfg.noise_strength, seed=cfg.seed,
+                sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
                 dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
                 mesh=engine_mesh, batch_axis=cfg.batch_axis)
+        return make_realwave_trajectory_fn(
+            cfg.system, cfg.shape, cfg.Lx, cfg.dt,
+            integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+            noise_strength=cfg.noise_strength, seed=cfg.seed,
+            dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
+            mesh=engine_mesh, batch_axis=cfg.batch_axis)
+
+    def _build_grid_sharded_traj_fn(self):
+        """Spatially sharded engine (parallel/spatial.py): every trajectory's
+        GRID is decomposed over the mesh's spatial axes — the path for
+        single runs too large for one chip (1024^2/256^3 configs)."""
+        cfg = self.cfg
+        if self.nproc > 1:
+            raise NotImplementedError(
+                "grid sharding across hosts is not supported yet; use "
+                "shard_grid within one host (ICI) and the batch axis over "
+                "hosts")
+        from nlsolvers_tpu.parallel import spatial
+        from nlsolvers_tpu.parallel.mesh import make_mesh
+
+        axes = ("gy", "gx") if cfg.dim == 2 else ("gz", "gy", "gx")
+        if cfg.mesh is None:
+            n = int(np.prod(cfg.shard_grid))
+            cfg.mesh = make_mesh(axes, shape=cfg.shard_grid,
+                                 devices=jax.devices()[:n])
+        batch_ax = (cfg.batch_axis if cfg.batch_axis in cfg.mesh.shape
+                    else None)
+        if cfg.family == "nlse":
+            return spatial.make_sharded_nlse_trajectory_fn(
+                cfg.system, cfg.shape, cfg.Lx, cfg.dt, cfg.mesh,
+                axis_names=axes, batch_axis=batch_ax,
+                integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+                sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
+                dtype=np.dtype(cfg.dtype).type, variant=cfg.variant)
+        return spatial.make_sharded_realwave_trajectory_fn(
+            cfg.system, cfg.shape, cfg.Lx, cfg.dt, cfg.mesh,
+            axis_names=axes, batch_axis=batch_ax,
+            integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+            dtype=np.dtype(cfg.dtype).type, variant=cfg.variant)
 
     def _space_for(self, family):
         cfg = self.cfg
@@ -339,13 +388,15 @@ class Datagen:
         cfg = self.cfg
         written = []
         done = 0
-        mesh_n = int(np.prod(list(cfg.mesh.shape.values()))) \
-            if cfg.mesh is not None else 1
+        # pad quota: the batch dim must divide the mesh's batch axis (grid
+        # axes shard the grid, not the batch — no padding needed for them)
+        mesh_n = (int(cfg.mesh.shape.get(cfg.batch_axis, 1))
+                  if cfg.mesh is not None else 1)
         # Multi-host: each host samples its own local batch; the global
         # (collective) batch is local*nproc, so the local pad quota is this
-        # host's device count. num_runs is PER HOST (like the MPI farm's
-        # per-rank run count, submit_nlse.py:104-127).
-        quota = mesh_n // self.nproc if self.nproc > 1 else mesh_n
+        # host's share of the batch axis. num_runs is PER HOST (like the MPI
+        # farm's per-rank run count, submit_nlse.py:104-127).
+        quota = max(1, mesh_n // self.nproc) if self.nproc > 1 else mesh_n
 
         # plan the batches, then pipeline: dispatch k+1 before fetching k
         plan = []

@@ -191,6 +191,66 @@ def test_cli_shard_batch(tmp_path):
     assert len(list((tmp_path / "hdf5").glob("*.h5"))) == 2
 
 
+def test_datagen_grid_sharded_matches_unsharded(tmp_path):
+    """Grid-sharded datagen end-to-end: each trajectory's GRID decomposed
+    over a (2, 4) spatial mesh (the large-single-trajectory path). Archives
+    must be valid AND match the unsharded engine run bit-for-tolerance
+    (same seed => same sampled ICs/fields since grid sharding pads nothing).
+    """
+    cfg_kw = dict(
+        family="nlse", phenomenon="multi_soliton", system="cubic",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, batch_size=2,
+        anisotropy_type="periodic_structure", m_type="piecewise",
+        krylov_m=6, seed=11)
+    ref_paths = Datagen(DatagenConfig(output_dir=str(tmp_path / "ref"),
+                                      **cfg_kw)).run()
+    got_paths = Datagen(DatagenConfig(output_dir=str(tmp_path / "shard"),
+                                      shard_grid=(2, 4), **cfg_kw)).run()
+    assert len(got_paths) == len(ref_paths) == 2
+    for rp, gp in zip(ref_paths, got_paths):
+        ref = io_hdf5.load_run(rp)
+        got = io_hdf5.load_run(gp)
+        assert got["u"].shape == (3, N, N)
+        assert np.isfinite(got["u"]).all()
+        np.testing.assert_array_equal(got["u0"], ref["u0"])
+        np.testing.assert_array_equal(got["c"], ref["c"])
+        np.testing.assert_allclose(got["u"], ref["u"], rtol=2e-4, atol=2e-5)
+
+
+def test_datagen_grid_sharded_realwave(tmp_path):
+    cfg = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=1,
+        krylov_m=6, seed=5, output_dir=str(tmp_path), shard_grid=(2, 4))
+    paths = Datagen(cfg).run()
+    out = io_hdf5.load_run(paths[0])
+    assert out["u"].shape == (3, N, N)
+    assert np.isfinite(out["u"]).all()
+    assert np.isfinite(out["v"]).all()
+
+
+def test_cli_shard_grid(tmp_path):
+    from nlsolvers_tpu.pipeline.__main__ import main
+    rc = main(["nlse", "--phenomenon", "multi_soliton", "--nx", str(N),
+               "--T", "0.01", "--nt", "8", "--snapshots", "2",
+               "--num-runs", "1", "--krylov-m", "6", "--shard-grid", "2,4",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert len(list((tmp_path / "hdf5").glob("*.h5"))) == 1
+
+
+def test_cli_shard_grid_plus_batch(tmp_path):
+    """Combined (batch, gy, gx) mesh: 2 trajectories in parallel, each grid
+    split over 2x2 devices."""
+    from nlsolvers_tpu.pipeline.__main__ import main
+    rc = main(["nlse", "--phenomenon", "multi_soliton", "--nx", str(N),
+               "--T", "0.01", "--nt", "8", "--snapshots", "2",
+               "--num-runs", "2", "--krylov-m", "6", "--shard-grid", "2,2",
+               "--shard-batch", "2", "--output-dir", str(tmp_path)])
+    assert rc == 0
+    assert len(list((tmp_path / "hdf5").glob("*.h5"))) == 2
+
+
 def test_ensemble_embedding(tmp_path):
     from nlsolvers_tpu.pipeline.samplers import common
     from nlsolvers_tpu.pipeline.samplers.nlse2d import NLSEPhenomenonSampler

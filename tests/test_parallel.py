@@ -314,3 +314,132 @@ def test_sharded_nlse_step_with_c():
     ref_c = np.asarray(jax.jit(prob.step)(u0c, 1))
     ref = np.stack([ref_c.real, ref_c.imag])
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape,variant", [
+    ((2, 2, 2), "clean"),
+    ((1, 1, 8), "clean"),
+    ((1, 1, 8), "reference"),     # merged-row seam variant: gx-only sharding
+])
+def test_sharded_anisotropic_3d_matches_global(mesh_shape, variant):
+    need_devices(int(np.prod(mesh_shape)))
+    from nlsolvers_tpu.ops import operators as ops
+    from jax.sharding import PartitionSpec as P
+
+    n = 16
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=mesh_shape,
+                           devices=jax.devices()[: int(np.prod(mesh_shape))])
+    rng = np.random.default_rng(9)
+    c = 1.0 + 0.5 * rng.random((n, n, n))
+    u = rng.standard_normal((n, n, n))
+    dx = 2 * LX / (n - 1)
+
+    ref = np.asarray(ops.anisotropic_laplacian_3d(c, dx, variant=variant)(
+        jnp.asarray(u)))
+
+    local = spatial.sharded_anisotropic_laplacian_3d(
+        (n, n, n), dx, ("gz", "gy", "gx"), variant=variant)
+    f = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("gz", "gy", "gx"), P("gz", "gy", "gx")),
+        out_specs=P("gz", "gy", "gx"), check_vma=False))
+    got = np.asarray(f(jnp.asarray(u), jnp.asarray(c)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_sharded_anisotropic_3d_reference_rejects_split_y():
+    need_devices(4)
+    from jax.sharding import PartitionSpec as P
+    mesh = pmesh.make_mesh(("gz", "gy", "gx"), shape=(1, 2, 2),
+                           devices=jax.devices()[:4])
+    n = 16
+    local = spatial.sharded_anisotropic_laplacian_3d(
+        (n, n, n), 0.1, ("gz", "gy", "gx"), variant="reference")
+    f = jax.shard_map(local, mesh=mesh,
+                      in_specs=(P("gz", "gy", "gx"), P("gz", "gy", "gx")),
+                      out_specs=P("gz", "gy", "gx"), check_vma=False)
+    with pytest.raises(ValueError, match="reference"):
+        f(jnp.zeros((n, n, n)), jnp.ones((n, n, n)))
+
+
+def test_sharded_nlse_step_3d_with_c():
+    need_devices(8)
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    N = 16
+    rng = np.random.default_rng(12)
+    c = (1.0 + 0.4 * rng.random((N, N, N))).astype(np.float32)
+    mf = np.ones((N, N, N), np.float32)
+    u0 = 0.1 * rng.standard_normal((2, N, N, N)).astype(np.float32)
+
+    step = spatial.make_sharded_nlse_step(
+        "cubic", (N, N, N), 5.0, 1e-3, mesh,
+        axis_names=("gz", "gy", "gx"), krylov_m=6, dtype=jnp.complex64,
+        use_c=True, variant="clean")
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)))
+
+    prob = problems.nlse_problem("cubic", (N, N, N), 5.0, 1e-3, m_field=mf,
+                                 c_field=c, krylov_m=6, dtype=jnp.complex64,
+                                 variant="clean")
+    u0c = jnp.asarray(u0[0] + 1j * u0[1], jnp.complex64)
+    ref_c = np.asarray(jax.jit(prob.step)(u0c, 1))
+    ref = np.stack([ref_c.real, ref_c.imag])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_nlse_trajectory_matches_engine():
+    need_devices(8)
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.pipeline.engine import make_nlse_trajectory_fn
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("gy", "gx"))
+    N, B, S, freq = 32, 2, 4, 3
+    rng = np.random.default_rng(21)
+    u0 = 0.1 * rng.standard_normal((B, 2, N, N)).astype(np.float32)
+    m = (1.0 + 0.1 * rng.random((B, N, N))).astype(np.float32)
+    c = (1.0 + 0.3 * rng.random((B, N, N))).astype(np.float32)
+
+    ref_fn = make_nlse_trajectory_fn("cubic", (N, N), LX, 1e-3,
+                                     integrator="ss2", krylov_m=6,
+                                     dtype=jnp.complex64)
+    ref = np.asarray(ref_fn(u0, m, c, S, freq))
+
+    traj_fn = spatial.make_sharded_nlse_trajectory_fn(
+        "cubic", (N, N), LX, 1e-3, mesh, axis_names=("gy", "gx"),
+        integrator="ss2", krylov_m=6, dtype=jnp.complex64)
+    got = np.asarray(traj_fn(u0, m, c, S, freq))
+    assert got.shape == (B, S, 2, N, N)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_realwave_trajectory_matches_engine():
+    need_devices(8)
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.pipeline.engine import make_realwave_trajectory_fn
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("gy", "gx"))
+    N, B, S, freq = 32, 2, 4, 2
+    rng = np.random.default_rng(22)
+    u0 = 0.2 * rng.standard_normal((B, N, N)).astype(np.float32)
+    v0 = 0.05 * rng.standard_normal((B, N, N)).astype(np.float32)
+    m = (1.0 + 0.1 * rng.random((B, N, N))).astype(np.float32)
+    c = (1.0 + 0.3 * rng.random((B, N, N))).astype(np.float32)
+
+    ref_fn = make_realwave_trajectory_fn("sine_gordon", (N, N), LX, 1e-3,
+                                         integrator="gautschi", krylov_m=6,
+                                         dtype=jnp.float32)
+    ref_u, ref_v = ref_fn(u0, v0, m, c, S, freq)
+
+    traj_fn = spatial.make_sharded_realwave_trajectory_fn(
+        "sine_gordon", (N, N), LX, 1e-3, mesh, axis_names=("gy", "gx"),
+        integrator="gautschi", krylov_m=6, dtype=jnp.float32)
+    got_u, got_v = traj_fn(u0, v0, m, c, S, freq)
+    assert np.asarray(got_u).shape == (B, S, N, N)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(ref_u),
+                               rtol=2e-4, atol=2e-5)
+    # v = (u - u_past)/dt amplifies f32 roundoff by 1/dt = 1e3, so the
+    # velocity tolerance is the u tolerance scaled accordingly
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(ref_v),
+                               rtol=2e-3, atol=5e-3)
