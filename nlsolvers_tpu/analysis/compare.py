@@ -42,13 +42,18 @@ def _build(family, kind, integrator, shape, Lx, dt, m, c, krylov_m, dtype):
 def integrator_study(family, kind, u0_high, *, integrators, nx_values,
                      dt_values, T, Lx, v0_high=None, m_high=None,
                      c_high=None, num_snapshots=11, krylov_m=10,
-                     dtype=None, m_of=None, c_of=None):
+                     dtype=None, m_of=None, c_of=None, keep_traj=None):
     """Run every (integrator, nx, dt) cell and score it.
 
     u0_high (and optionally v0_high/m_high/c_high) live on the finest grid
     (max(nx_values) per axis) and are interpolation-downsampled to each study
     grid, like _prepare_high_resolution_inputs does. Returns
     {(integrator, nx, dt): {metrics..., walltime, final_snapshot}}.
+
+    keep_traj: optional predicate (nx, dt) -> bool; cells where it returns
+    True also keep the full snapshot stack under metrics["trajectory"]
+    (the reference keeps min-dt trajectories on disk for its snapshot and
+    solution-difference figures, compare_utils_complex_2d.py:828-833).
     """
     import jax.numpy as jnp
 
@@ -90,14 +95,17 @@ def integrator_study(family, kind, u0_high, *, integrators, nx_values,
                 metrics.update(walltime=walltime, nx=nx, dt=dt, nt=nt,
                                integrator=integrator,
                                final_snapshot=traj[-1])
+                if keep_traj is not None and keep_traj(nx, dt):
+                    metrics["trajectory"] = traj
                 results[(integrator, nx, dt)] = metrics
     return results
 
 
 def pairwise_solution_difference(results, integrators, norm="l2"):
     """Per-(nx, dt) relative difference between two integrators' final
-    snapshots — the reference's solution-difference study
-    (compare_utils_complex_2d.py:383-470, sans animation)."""
+    snapshots — the scoring core of the reference's solution-difference
+    study (compare_utils_complex_2d.py:651-752); the figure + animation
+    deliverables live in analysis/study.py."""
     a, b = integrators
     out = {}
     for key, ra in results.items():

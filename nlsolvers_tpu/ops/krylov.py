@@ -136,8 +136,18 @@ def _lanczos_cols(matvec, u, m, reorth=True, axis_names=()):
     def vdot(a, b):
         return gsum(jnp.vdot(a.reshape(-1), b.reshape(-1), precision=_HI))
 
+    # Safe normalization: a zero start vector (e.g. sEWI's B(u) with the
+    # reference's default m = 0, nlse_cubic_driver.cpp:64) or an exact
+    # mid-iteration breakdown yields ZERO columns instead of NaN. The
+    # reference divides by the raw norm (eigen_krylov_complex.hpp:21,46 —
+    # its launchers always supply a nonzero m, so it never trips); when the
+    # norm is positive this is bit-identical to the raw division, and
+    # matfunc_apply scales the final combination by beta0, so f(L)·0 = 0.
+    def safe_div(x, nrm):
+        return (x / jnp.where(nrm > 0, nrm, 1)).astype(u.dtype)
+
     beta0 = gnorm(u)
-    v0 = (u / beta0).astype(u.dtype)
+    v0 = safe_div(u, beta0)
 
     n = u.size
 
@@ -177,7 +187,7 @@ def _lanczos_cols(matvec, u, m, reorth=True, axis_names=()):
             a = jnp.real(vdot(vj, w)).astype(rdtype)
             w = w - a * vj
         b = gnorm(w)
-        vs.append((w / b).astype(u.dtype))
+        vs.append(safe_div(w, b))
         alphas.append(a)
         betas.append(b)
 

@@ -815,9 +815,16 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
     fused_iter = (_FUSED_ITER and mode not in ("shard2d", "shard2d_aniso")
                   and P * ny * nx * 4 <= 32 * 2**20)
 
+    # Inverse norms are safe against zero columns (zero start vector or
+    # exact breakdown): the inverse is set to 0, so the column contributes
+    # nothing and the final combination (scaled by beta0) stays finite —
+    # mirrors the safe_div in ops/krylov._lanczos_cols.
+    def safe_inv(nrm):
+        return jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1), 0.0)
+
     beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
     W = [u]
-    s = [1.0 / beta0]
+    s = [safe_inv(beta0)]
     alphas, betas = [], []
     for j in range(m - 1):
         # scal is SMEM; operator streams + weights + j dots + 1 out + slack
@@ -850,7 +857,7 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
                 q, w, *W[:j + 1])
         b = jnp.sqrt(gsum(nsq[0, 0]))
         W.append(wn)
-        s.append(1.0 / b)
+        s.append(safe_inv(b))
         betas.append(b)
     return W, s, alphas, betas, beta0
 

@@ -147,7 +147,11 @@ def ss2_resident_step(u, m_field, desc, dt, m, kind="cubic", sigma1=1.0,
         # --- Lanczos, fully VMEM-resident --------------------------------
         b0sq = jnp.sum(re1 * re1) + jnp.sum(im1 * im1)
         beta0 = jnp.sqrt(b0sq)
-        svals = [1.0 / beta0]
+        # safe inverse: zero columns contribute nothing instead of NaN
+        # (mirrors ops/krylov._lanczos_cols.safe_div)
+        def safe_inv(nrm):
+            return jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1), 0.0)
+        svals = [safe_inv(beta0)]
         alphas, betas = [], []
         for j in range(m - 1):
             # w = s_j * L W_j - beta_{j-1} s_{j-1} W_{j-1}, chunked
@@ -181,7 +185,7 @@ def ss2_resident_step(u, m_field, desc, dt, m, kind="cubic", sigma1=1.0,
             nsq = jnp.sum(accr * accr) + jnp.sum(acci * acci)
             b = jnp.sqrt(nsq)
             betas.append(b)
-            svals.append(1.0 / b)
+            svals.append(safe_inv(b))
         alphas.append(jnp.float32(0.0))   # T(m-1, m-1) stays 0 (reference)
 
         # --- exp(i dt T) e1 via Taylor (tridiagonal matvecs on scalars) --

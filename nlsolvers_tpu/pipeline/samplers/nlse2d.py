@@ -323,9 +323,33 @@ def turbulent_condensate(grid, rng, amplitude=1.0, condensate_fraction=0.5,
     return grid.envelope(u, envelope_width) if apply_envelope else u
 
 
+def colliding_packets(grid, rng, amplitude1=1.0, amplitude2=1.0,
+                      x01=None, x02=None, sigma_x=None, sigma_y=None,
+                      kx1=5.0, kx2=-5.0):
+    """Two counter-propagating Gaussian wavepackets — the integrator study's
+    hardcoded IC (compare_utils_complex_2d.py:196-231, "colliding_packets_
+    nlse"). Deterministic given its parameters; rng accepted for registry
+    signature parity. Defaults mirror the reference: centers at +-L/3,
+    widths L/8, carrier wavenumbers +-5."""
+    L = grid.L
+    x01 = -L / 3.0 if x01 is None else x01
+    x02 = L / 3.0 if x02 is None else x02
+    sigma_x = L / 8.0 if sigma_x is None else sigma_x
+    sigma_y = L / 8.0 if sigma_y is None else sigma_y
+    X, Y = grid.mesh()
+
+    def packet(A, x0, kx):
+        gauss = A * np.exp(-((X - x0) ** 2 / (2 * sigma_x ** 2)
+                             + Y ** 2 / (2 * sigma_y ** 2)))
+        return gauss * np.exp(1j * kx * (X - x0))
+
+    return packet(amplitude1, x01, kx1) + packet(amplitude2, x02, kx2)
+
+
 PHENOMENA = {
     "fundamental_soliton": fundamental_soliton,
     "multi_soliton": multi_soliton,
+    "colliding_packets": colliding_packets,
     "akhmediev_breather": akhmediev_breather,
     "vortex": vortex,
     "vortex_lattice": vortex_lattice,

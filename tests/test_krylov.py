@@ -217,3 +217,35 @@ def test_matfunc_apply_multi_complex_exp():
         single = krylov.matfunc_apply(mv, u, t, func, m=12)
         np.testing.assert_allclose(np.asarray(got), np.asarray(single),
                                    rtol=1e-13, atol=1e-13)
+
+
+def test_matfunc_zero_vector_is_zero():
+    """f(L) 0 = 0, not NaN: sEWI's B(u) is identically zero with the
+    reference's default m = 0 (nlse_cubic_driver.cpp:64), and the raw
+    division by ||v|| would poison the whole step. Covers real and complex
+    dtypes and the multi-spec path."""
+    n_int = 10
+    L = ref.build_laplacian_noflux(n_int, n_int, 0.2, 0.2)
+    mv = dense_matvec(L)
+    nf = n_int + 2
+    for z in (jnp.zeros((nf, nf)), jnp.zeros((nf, nf), jnp.complex128)):
+        out = krylov.matfunc_apply(mv, z, 1e-3, "sinc", m=8)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+    outs = krylov.matfunc_apply_multi(mv, jnp.zeros((nf, nf)),
+                                      ((1e-3, "cos_sqrt"), (1e-3, "id_sqrt")),
+                                      m=8)
+    for o in outs:
+        np.testing.assert_array_equal(np.asarray(o), 0.0)
+
+
+def test_lanczos_safe_norm_matches_raw_division():
+    """The safe normalization is bit-identical to raw division on nonzero
+    inputs (it only rewrites the norm when it is exactly zero)."""
+    n = 30
+    A = RNG.standard_normal((n, n))
+    A = (A + A.T) / 2
+    u = RNG.standard_normal(n)
+    V, alpha, beta, beta0 = krylov.lanczos(dense_matvec(A), jnp.asarray(u), 8)
+    raw_v0 = u / np.linalg.norm(u)
+    np.testing.assert_array_equal(np.asarray(V[0]), raw_v0)

@@ -241,3 +241,22 @@ def test_nlse_sewi_fused_close_to_sequential():
     scale = np.linalg.norm(out["sewi"])
     assert np.linalg.norm(out["sewi"] - out["sewi_fused"]) / scale < 1e-8
     # and the bootstrap step (i == 1) is identical by construction
+
+
+def test_nlse_sewi_default_m_field_stays_finite():
+    """sEWI with the default m = 0 (linear Schroedinger): B(u) = 0 every
+    step, so this regression-guards the zero-vector Lanczos path end to end.
+    The solution must stay finite and mass-conserving."""
+    n = 32
+    rng = np.random.default_rng(3)
+    u0 = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    u0 = u0 * np.exp(-((np.linspace(-1, 1, n)[:, None]) ** 2
+                       + np.linspace(-1, 1, n)[None, :] ** 2) * 4)
+    prob = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3,
+                                 integrator="sewi", krylov_m=8)
+    out = np.asarray(problems.run(prob, prob.init(u0), 4, 3))
+    assert np.isfinite(out.view(np.float64)).all()
+    mass0 = np.sum(np.abs(out[0]) ** 2)
+    mass1 = np.sum(np.abs(out[-1]) ** 2)
+    # drift is Krylov truncation of exp(i dt L) at m=8, not roundoff
+    assert abs(mass1 - mass0) / mass0 < 1e-3
