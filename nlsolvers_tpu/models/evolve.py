@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["evolve", "simulate"]
+__all__ = ["evolve", "evolve_guarded", "simulate"]
 
 
 def evolve(step_fn, state0, num_snapshots, snapshot_freq, observe=None):
@@ -51,6 +51,88 @@ def evolve(step_fn, state0, num_snapshots, snapshot_freq, observe=None):
     first = jax.tree.map(lambda x: jnp.asarray(x)[None], observe(state0))
     return jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0),
                         first, snaps)
+
+
+def evolve_guarded(step_fn, state0, num_snapshots, snapshot_freq,
+                   observe=None, batched=False, scalars=None):
+    """evolve() with an in-loop stability guard + optional on-generation
+    scalar series — the TPU equivalent of the reference's gen-2 on-device
+    NaN-check and energy kernels (device/sg_solver_dev.hpp:7-90).
+
+    Every snapshot is finiteness-checked ON DEVICE inside the jitted loop;
+    the trajectory is a lax.while_loop over snapshot intervals that EXITS
+    EARLY once every batch lane has gone non-finite, so a diverging run
+    stops at its first bad snapshot instead of burning all nt steps
+    (a single-lane run bails immediately; in a vmapped batch, lanes run in
+    lockstep, so compute is saved only when the whole batch is dead — the
+    SIMD reality of the hardware).
+
+    Args:
+      batched: when True, leading axis of each observed leaf is the batch;
+        finiteness reduces over the trailing axes only.
+      scalars: optional {name: fn(state) -> scalar-per-lane} recorded at
+        every snapshot (entry 0 = the IC), e.g. mass/energy during
+        generation.
+
+    Returns:
+      (snaps, bad_at, series): snaps as in evolve() — snapshots past the
+      early exit are zero-filled; bad_at int32 (per lane) = index of the
+      first non-finite snapshot, num_snapshots if the run stayed finite;
+      series {name: (num_snapshots,) + lane shape}.
+    """
+    if observe is None:
+        observe = lambda s: s
+    scalars = scalars or {}
+    S = num_snapshots
+
+    def finite_of(snap):
+        leaves = jax.tree.leaves(snap)
+
+        def red(x):
+            fin = jnp.isfinite(x) if jnp.issubdtype(x.dtype, jnp.inexact) \
+                else jnp.ones(x.shape, bool)
+            return jnp.all(fin, axis=tuple(range(1, x.ndim)) if batched
+                           else None)
+
+        ok = red(leaves[0])
+        for leaf in leaves[1:]:
+            ok = ok & red(leaf)
+        return ok                       # (B,) bool, or scalar bool
+
+    snap0 = observe(state0)
+    bufs = jax.tree.map(
+        lambda x: jnp.zeros((S,) + jnp.shape(x), jnp.asarray(x).dtype)
+        .at[0].set(x), snap0)
+    series = {k: fn(state0) for k, fn in scalars.items()}
+    series = {k: jnp.zeros((S,) + jnp.shape(v), jnp.asarray(v).dtype)
+              .at[0].set(v) for k, v in series.items()}
+    ok0 = finite_of(snap0)
+    bad0 = jnp.where(ok0, jnp.int32(S), jnp.int32(0))
+
+    def cond(carry):
+        s, _, ok, _, _, _ = carry
+        return (s < S) & jnp.any(ok)
+
+    def body(carry):
+        s, state, ok, bad_at, bufs, series = carry
+        # step-index cadence identical to evolve(): snapshot s is the state
+        # after s * snapshot_freq steps, indices counting from 1
+        idx0 = (s - 1) * snapshot_freq + 1
+
+        def inner(i, st):
+            return step_fn(st, idx0 + i)
+
+        state = lax.fori_loop(0, snapshot_freq, inner, state)
+        snap = observe(state)
+        bufs = jax.tree.map(lambda b, x: b.at[s].set(x), bufs, snap)
+        series = {k: series[k].at[s].set(scalars[k](state)) for k in series}
+        fin = finite_of(snap)
+        bad_at = jnp.where(ok & ~fin, s.astype(jnp.int32), bad_at)
+        return (s + 1, state, ok & fin, bad_at, bufs, series)
+
+    carry = (jnp.int32(1), state0, ok0, bad0, bufs, series)
+    _, _, _, bad_at, bufs, series = lax.while_loop(cond, body, carry)
+    return bufs, bad_at, series
 
 
 @partial(jax.jit, static_argnums=(0, 2, 3, 4))

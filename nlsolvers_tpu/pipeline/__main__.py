@@ -80,6 +80,25 @@ def build_parser():
                         choices=["FFT", "fft", "interpolation", "none"])
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--output-dir", type=str, required=True)
+        sp.add_argument("--format", dest="archive_format", type=str,
+                        default="hdf5", choices=["hdf5", "npy"],
+                        help="archive format: reference-schema HDF5 or the "
+                             "device drivers' .npy trajectory files "
+                             "(streamed via the native async writer)")
+        sp.add_argument("--async-archive", action="store_true",
+                        help="archive on background Python threads "
+                             "(measured slower for hdf5 — h5py GIL "
+                             "contention with D2H; the npy format is "
+                             "natively async either way)")
+        sp.add_argument("--no-guard", action="store_true",
+                        help="disable the in-loop stability guard "
+                             "(on-device per-snapshot finiteness check with "
+                             "early exit once every run in a batch "
+                             "diverged)")
+        sp.add_argument("--record-energy", action="store_true",
+                        help="record mass (NLSE) / discrete energy "
+                             "(realwave) per snapshot ON DEVICE during "
+                             "generation; archived under energy/")
         sp.add_argument("--shard-batch", type=int, default=0,
                         help="shard the trajectory batch over this many "
                              "devices (-1 = all local devices, 0 = off); "
@@ -149,6 +168,9 @@ def config_from_args(args):
         variant=args.variant, dr_target=args.dr_target,
         dr_strategy=args.dr_strategy, seed=args.seed,
         output_dir=args.output_dir, shard_grid=shard_grid,
+        guard=not args.no_guard, record_energy=args.record_energy,
+        archive_format=args.archive_format,
+        archive_async=args.async_archive,
         mesh=_build_mesh(args.shard_batch, shard_grid, args.dim))
     if args.family == "nlse":
         kwargs.update(sigma1=args.sigma1, sigma2=args.sigma2,
@@ -172,7 +194,8 @@ def main(argv=None):
     if joined:
         cfg.mesh = dist.global_mesh(("batch",))
     written = Datagen(cfg).run()
-    print(f"wrote {len(written)} archives under {cfg.output_dir}/hdf5")
+    print(f"wrote {len(written)} archives under "
+          f"{cfg.output_dir}/{cfg.archive_format}")
     return 0
 
 

@@ -12,8 +12,10 @@ Per-run archives keep the reference HDF5 schema (pipeline/io_hdf5.py), so
 reference post-processing tools work on our datasets unchanged.
 """
 
+import json
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -35,6 +37,16 @@ from nlsolvers_tpu.parallel import distributed as dist
 __all__ = ["DatagenConfig", "Datagen", "draw_from_space"]
 
 NLSE_SYSTEMS = ("cubic", "cubic_quintic", "saturable")
+
+
+class _Done:
+    """Pre-resolved future (synchronous archive mode)."""
+
+    def __init__(self, value):
+        self._value = value
+
+    def result(self):
+        return self._value
 
 
 def draw_from_space(rng, space):
@@ -83,10 +95,33 @@ class DatagenConfig:
     #                                  (gz, gy, gx) — for single trajectories
     #                                  too large for one chip
     normalize_ic: bool = True        # NLSE only (complex_launcher_2d.py:95)
+    guard: bool = True               # in-loop stability guard: on-device
+    #                                  per-snapshot finiteness + early exit
+    #                                  when every lane in a batch diverged
+    #                                  (gen-2 analogue: sg_solver_dev.hpp:7-90)
+    record_energy: bool = False      # record mass (NLSE) / energy (realwave)
+    #                                  per snapshot ON DEVICE during
+    #                                  generation; archived under energy/
+    archive_async: bool = False      # archive runs on background threads.
+    #                                  Measured OFF by default: h5py holds
+    #                                  the GIL, so worker-thread writes
+    #                                  contend with the next batch's D2H
+    #                                  readback (benchmarks/archive_bench.py:
+    #                                  sync 16-22s vs async 26-39s for the
+    #                                  same sweep). The npy format instead
+    #                                  streams through the NATIVE writer's
+    #                                  C++ thread pool (no GIL), which is
+    #                                  async regardless of this flag.
+    archive_format: str = "hdf5"     # "hdf5" (reference schema) | "npy"
+    #                                  (native AsyncNpyWriter trajectory
+    #                                  files + JSON sidecar — the reference
+    #                                  device drivers' own output format,
+    #                                  util.hpp:37-92)
 
     def __post_init__(self):
         assert self.family in ("nlse", "realwave")
         assert self.dim in (2, 3)
+        assert self.archive_format in ("hdf5", "npy")
         if self.shard_grid:
             self.shard_grid = tuple(int(g) for g in self.shard_grid)
             if len(self.shard_grid) != self.dim:
@@ -151,10 +186,26 @@ class Datagen:
                      else Grid3D(cfg.nx, cfg.nx, cfg.nx, cfg.Lx))
 
         self.out = Path(cfg.output_dir)
-        self.h5_dir = self.out / "hdf5"
+        self.h5_dir = self.out / cfg.archive_format
         self.h5_dir.mkdir(parents=True, exist_ok=True)
         if self.pid == 0:
             self._write_manifest()
+
+        # archive workers: downsample + disk IO run off the critical path so
+        # they overlap the next batch's device compute (the reference's
+        # store_snapshot_online/cudaMemcpyAsync + save loop is synchronous,
+        # nlse_dev.hpp:323-334). npy format streams through the native
+        # thread-pool writer (native/snapshot_writer.cpp) — zero GIL.
+        self._archiver = (ThreadPoolExecutor(max_workers=2)
+                          if cfg.archive_async else None)
+        self._npy_writer = None
+        if cfg.archive_format == "npy":
+            from nlsolvers_tpu import native
+            try:
+                self._npy_writer = native.AsyncNpyWriter(n_threads=2)
+            except native.NativeUnavailable as e:
+                print(f"native npy writer unavailable ({e}); "
+                      "falling back to numpy.save")
 
         if cfg.family == "nlse":
             self.sampler = (
@@ -176,6 +227,10 @@ class Datagen:
     def _build_traj_fn(self):
         cfg = self.cfg
         if cfg.shard_grid:
+            # the grid-sharded engine (parallel/spatial.py) has no guarded
+            # variant yet; its outputs keep the unguarded shape
+            cfg.guard = False
+            cfg.record_energy = False
             return self._build_grid_sharded_traj_fn()
         engine_mesh = cfg.mesh if self.nproc == 1 else None
         if cfg.family == "nlse":
@@ -184,13 +239,15 @@ class Datagen:
                 integrator=cfg.integrator, krylov_m=cfg.krylov_m,
                 sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
                 dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
-                mesh=engine_mesh, batch_axis=cfg.batch_axis)
+                mesh=engine_mesh, batch_axis=cfg.batch_axis,
+                guard=cfg.guard, record_energy=cfg.record_energy)
         return make_realwave_trajectory_fn(
             cfg.system, cfg.shape, cfg.Lx, cfg.dt,
             integrator=cfg.integrator, krylov_m=cfg.krylov_m,
             noise_strength=cfg.noise_strength, seed=cfg.seed,
             dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
-            mesh=engine_mesh, batch_axis=cfg.batch_axis)
+            mesh=engine_mesh, batch_axis=cfg.batch_axis,
+            guard=cfg.guard, record_energy=cfg.record_energy)
 
     def _build_grid_sharded_traj_fn(self):
         """Spatially sharded engine (parallel/spatial.py): every trajectory's
@@ -358,8 +415,19 @@ class Datagen:
         return self._fetch_nlse(self._dispatch_nlse(u0s, m, c))
 
     def _fetch_nlse(self, dev_out):
+        """Returns (u_traj, bad_at, series); bad_at/series None unguarded."""
+        bad_at, series = None, None
+        if self.cfg.guard:
+            if self.cfg.record_energy:
+                dev_out, bad_dev, series_dev = dev_out
+                series = {k: self._host_rows(v)[0]
+                          for k, v in series_dev.items()}
+            else:
+                dev_out, bad_dev = dev_out
+            bad_at = self._host_rows(bad_dev)[0]
         out, _ = self._host_rows(dev_out)           # (B, S, 2, *shape)
-        return out[:, :, 0] + 1j * out[:, :, 1]     # complex (B, S, *shape)
+        u = out[:, :, 0] + 1j * out[:, :, 1]        # complex (B, S, *shape)
+        return u, bad_at, series
 
     def _dispatch_realwave(self, u0s, v0s, m, c):
         cfg = self.cfg
@@ -369,9 +437,24 @@ class Datagen:
         u0, v0, m, c = self._place(u0, v0, m.astype(rdt), c.astype(rdt))
         return self.traj_fn(u0, v0, m, c, cfg.snapshots, cfg.snapshot_freq)
 
+    def _fetch_realwave(self, dev_out):
+        """Returns (u_traj, v_traj, bad_at, series) as in _fetch_nlse."""
+        bad_at, series = None, None
+        if self.cfg.guard:
+            if self.cfg.record_energy:
+                u_t, v_t, bad_dev, series_dev = dev_out
+                series = {k: self._host_rows(v)[0]
+                          for k, v in series_dev.items()}
+            else:
+                u_t, v_t, bad_dev = dev_out
+            bad_at = self._host_rows(bad_dev)[0]
+        else:
+            u_t, v_t = dev_out
+        return self._host_rows(u_t)[0], self._host_rows(v_t)[0], bad_at, \
+            series
+
     def _evolve_realwave(self, u0s, v0s, m, c):
-        u_t, v_t = self._dispatch_realwave(u0s, v0s, m, c)
-        return self._host_rows(u_t)[0], self._host_rows(v_t)[0]
+        return self._fetch_realwave(self._dispatch_realwave(u0s, v0s, m, c))
 
     def _downsample(self, traj):
         cfg = self.cfg
@@ -383,10 +466,93 @@ class Datagen:
                                         if cfg.dr_strategy != "FFT"
                                         else "fft")
 
+    # -- archiving ------------------------------------------------------
+    def _archive_run(self, idx, meta, u0, v0, m_b, c_b, u_b, v_b, scal,
+                     per_run):
+        """Downsample + persist one run; runs on an archiver thread in
+        async mode. Returns the written path."""
+        cfg = self.cfg
+        params, c_params, m_params = meta
+        if cfg.archive_format == "npy":
+            return self._archive_run_npy(idx, params, c_params, m_params,
+                                         u0, v0, m_b, c_b, u_b, v_b, scal,
+                                         per_run)
+        path = self.h5_dir / f"run_{self.run_id}_{idx:04d}.h5"
+        io_hdf5.save_run(
+            path,
+            problem_type=cfg.system,
+            run_id=self.run_id, run_index=idx,
+            phenomenon=cfg.phenomenon, phenomenon_params=params,
+            shape=cfg.shape, extents=cfg.extents,
+            T=cfg.T, nt=cfg.nt, num_snapshots=cfg.snapshots,
+            u0=u0, v0=v0,
+            u=self._downsample(u_b),
+            v=self._downsample(v_b) if v_b is not None else None,
+            m=m_b, c=c_b, m_type=m_params.get("type", cfg.m_type),
+            m_attrs={f"m_{k}": str(v) for k, v in m_params.items()},
+            scalar_series=scal,
+            elapsed_time=per_run,
+            extra_meta=dict(
+                integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+                anisotropy_type=c_params.get("type", cfg.anisotropy_type),
+                **{f"c_{k}": str(v) for k, v in c_params.items()}))
+        return path
+
+    def _archive_run_npy(self, idx, params, c_params, m_params, u0, v0,
+                         m_b, c_b, u_b, v_b, scal, per_run):
+        """The reference drivers' own trajectory format (util.hpp:37-92
+        save_to_npy): one .npy per array + a JSON metadata sidecar, streamed
+        through the native async writer when available."""
+        cfg = self.cfg
+        base = self.h5_dir / f"run_{self.run_id}_{idx:04d}"
+
+        def put(suffix, arr):
+            p = base.parent / f"{base.name}_{suffix}.npy"
+            arr = np.ascontiguousarray(arr)
+            if self._npy_writer is not None:
+                self._npy_writer.submit(p, arr)
+            else:
+                np.save(p, arr)
+
+        put("u", self._downsample(u_b))
+        if v_b is not None:
+            put("v", self._downsample(v_b))
+        put("u0", u0)
+        if v0 is not None:
+            put("v0", v0)
+        put("m", m_b)
+        put("c", c_b)
+        for name, values in (scal or {}).items():
+            put(name, values)
+        meta_path = base.parent / f"{base.name}.json"
+        meta_path.write_text(json.dumps(dict(
+            problem_type=cfg.system, run_id=self.run_id, run_index=idx,
+            phenomenon=cfg.phenomenon,
+            phenomenon_params={k: str(v) for k, v in params.items()},
+            shape=list(cfg.shape), extents=list(cfg.extents),
+            T=cfg.T, nt=cfg.nt, num_snapshots=cfg.snapshots,
+            integrator=cfg.integrator, krylov_m=cfg.krylov_m,
+            m_type=m_params.get("type", cfg.m_type),
+            anisotropy_type=c_params.get("type", cfg.anisotropy_type),
+            elapsed_time=per_run), indent=2))
+        return meta_path
+
+    def _archive_flush(self, futures):
+        """Resolve archiver futures in submission order; drain the native
+        writer so every byte is on disk before run() returns."""
+        written = [f.result() for f in futures]
+        if self._npy_writer is not None:
+            self._npy_writer.flush()
+            if self._npy_writer.errors:
+                raise RuntimeError(
+                    f"native npy writer reported {self._npy_writer.errors} "
+                    "failed writes")
+        return written
+
     # -- the sweep ------------------------------------------------------
     def run(self):
         cfg = self.cfg
-        written = []
+        futures = []
         done = 0
         # pad quota: the batch dim must divide the mesh's batch axis (grid
         # axes shard the grid, not the batch — no padding needed for them)
@@ -428,11 +594,11 @@ class Datagen:
                 continue
             batch, metas, u0s, v0s, m, c, dev_out, t0 = pending
             if cfg.family == "nlse":
-                u_traj = self._fetch_nlse(dev_out)
+                u_traj, bad_at, series = self._fetch_nlse(dev_out)
                 v_traj = None
             else:
-                u_traj = self._host_rows(dev_out[0])[0]
-                v_traj = self._host_rows(dev_out[1])[0]
+                u_traj, v_traj, bad_at, series = self._fetch_realwave(
+                    dev_out)
             walltime = time.time() - t0
             per_run = walltime / batch
 
@@ -441,32 +607,29 @@ class Datagen:
                 # archive is the union of every host's hdf5/ dir (per-host
                 # shard writing — no cross-host IO)
                 idx = self.pid * cfg.num_runs + done + b
-                if not np.isfinite(u_traj[b]).all():
+                if bad_at is not None and bad_at[b] < cfg.snapshots:
+                    # flagged ON DEVICE by the in-loop guard; the batch may
+                    # have early-exited, so later snapshots can be zeros —
+                    # never archive them
+                    print(f"run {idx}: non-finite at snapshot "
+                          f"{int(bad_at[b])} (in-loop guard), skipping "
+                          f"(phenomenon params {metas[b][0]})")
+                    continue
+                if bad_at is None and not np.isfinite(u_traj[b]).all():
                     print(f"run {idx}: non-finite trajectory, skipping "
                           f"(phenomenon params {metas[b][0]})")
                     continue
-                path = self.h5_dir / f"run_{self.run_id}_{idx:04d}.h5"
-                params, c_params, m_params = metas[b]
-                io_hdf5.save_run(
-                    path,
-                    problem_type=cfg.system,
-                    run_id=self.run_id, run_index=idx,
-                    phenomenon=cfg.phenomenon, phenomenon_params=params,
-                    shape=cfg.shape, extents=cfg.extents,
-                    T=cfg.T, nt=cfg.nt, num_snapshots=cfg.snapshots,
-                    u0=u0s[b], v0=v0s[b],
-                    u=self._downsample(u_traj[b]),
-                    v=(self._downsample(v_traj[b])
-                       if v_traj is not None else None),
-                    m=m[b], c=c[b], m_type=m_params.get("type", cfg.m_type),
-                    m_attrs={f"m_{k}": str(v) for k, v in m_params.items()},
-                    elapsed_time=per_run,
-                    extra_meta=dict(
-                        integrator=cfg.integrator, krylov_m=cfg.krylov_m,
-                        anisotropy_type=c_params.get("type",
-                                                     cfg.anisotropy_type),
-                        **{f"c_{k}": str(v) for k, v in c_params.items()}))
-                written.append(path)
+                args = (idx, metas[b], u0s[b], v0s[b], m[b], c[b],
+                        u_traj[b],
+                        v_traj[b] if v_traj is not None else None,
+                        ({k: v[b] for k, v in series.items()}
+                         if series else None),
+                        per_run)
+                if self._archiver is not None:
+                    futures.append(self._archiver.submit(
+                        self._archive_run, *args))
+                else:
+                    futures.append(_Done(self._archive_run(*args)))
             done += batch
             # NOTE: with pipelining, a batch's walltime overlaps the next
             # batch's device time (and the first batch includes compile),
@@ -475,4 +638,4 @@ class Datagen:
                   f"{walltime:.2f}s dispatch-to-fetch ({per_run:.2f}s/run, "
                   f"overlapped)")
             pending = current
-        return written
+        return self._archive_flush(futures)

@@ -30,7 +30,7 @@ from jax import lax
 from nlsolvers_tpu.config import real_dtype_of
 from nlsolvers_tpu.models import nlse as nlse_mod
 from nlsolvers_tpu.models import realwave as rw
-from nlsolvers_tpu.models.evolve import evolve
+from nlsolvers_tpu.models.evolve import evolve, evolve_guarded
 from nlsolvers_tpu.models.nonlinearities import (NLSE_KINDS, REALWAVE_KINDS,
                                                  nlse_density, realwave_g)
 from nlsolvers_tpu.ops import boundaries as bc
@@ -76,12 +76,20 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
                             krylov_m=10, sigma1=1.0, sigma2=-0.1, kappa=1.0,
                             dtype=jnp.complex64, variant="reference",
                             apply_bc=True, reorth=True, use_c=True,
-                            mesh=None, batch_axis="batch"):
+                            mesh=None, batch_axis="batch", guard=False,
+                            record_energy=False):
     """Builds traj(u0_packed, m, c, num_snapshots, snapshot_freq).
 
     u0_packed: (B, 2, *shape) real — stacked (real, imag) per trajectory.
     m, c:      (B, *shape) real coefficient fields (c ignored if use_c=False).
     Returns    (B, S, 2, *shape) real — packed complex snapshot stacks.
+
+    With guard=True the loop carries the in-loop stability guard
+    (models/evolve.evolve_guarded): returns (snaps, bad_at[, series]) where
+    bad_at is (B,) int32 (= S when the lane stayed finite) and, with
+    record_energy=True, series = {"mass": (B, S)} recorded on device during
+    generation (mass = sum |u|^2 dV — the conserved NLSE invariant; gen-2
+    reference analogue: device/sg_solver_dev.hpp:7-90).
 
     The returned function is jitted once; every datagen run in a sweep reuses
     the same executable. With a mesh, inputs are sharded over `batch_axis`.
@@ -123,6 +131,13 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
 
     vstep = _vmap_fields(single_step, use_c)
 
+    dV = dx ** len(shape)
+    spatial_axes = tuple(range(1, len(shape) + 1))
+
+    def mass_of(state):
+        u = state[0] if two_state else state
+        return jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV   # (B,)
+
     @partial(jax.jit, static_argnums=(3, 4))
     def traj(u0_packed, m, c, num_snapshots, snapshot_freq):
         u0 = lax.complex(u0_packed[:, 0].astype(rdtype),
@@ -134,10 +149,21 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
             step = lambda st, i: vstep(st, i, m, c)
         else:
             step = lambda st, i: vstep(st, i, m)
-        snaps = evolve(step, state0, num_snapshots, snapshot_freq,
-                       observe=observe)                    # (S, B, *shape)
-        snaps = jnp.moveaxis(snaps, 0, 1)                  # (B, S, *shape)
-        return jnp.stack([jnp.real(snaps), jnp.imag(snaps)], axis=2)
+
+        def pack(snaps):
+            snaps = jnp.moveaxis(snaps, 0, 1)              # (B, S, *shape)
+            return jnp.stack([jnp.real(snaps), jnp.imag(snaps)], axis=2)
+
+        if not guard:
+            snaps = evolve(step, state0, num_snapshots, snapshot_freq,
+                           observe=observe)                # (S, B, *shape)
+            return pack(snaps)
+        scalars = {"mass": mass_of} if record_energy else None
+        snaps, bad_at, series = evolve_guarded(
+            step, state0, num_snapshots, snapshot_freq, observe=observe,
+            batched=True, scalars=scalars)
+        series = {k: jnp.moveaxis(v, 0, 1) for k, v in series.items()}
+        return (pack(snaps), bad_at) + ((series,) if record_energy else ())
 
     if mesh is None:
         return traj
@@ -158,12 +184,19 @@ def make_realwave_trajectory_fn(kind, shape, Lx, dt, *, integrator="gautschi",
                                 krylov_m=10, noise_strength=0.0, seed=0,
                                 dtype=jnp.float32, variant="reference",
                                 apply_bc=True, reorth=True, use_c=True,
-                                mesh=None, batch_axis="batch"):
+                                mesh=None, batch_axis="batch", guard=False,
+                                record_energy=False):
     """Builds traj(u0, v0, m, c, num_snapshots, snapshot_freq).
 
     u0, v0, m, c: (B, *shape) real. Returns (u_traj, v_traj), each
     (B, S, *shape): the field and its finite-difference velocity
     v = (u - u_past)/dt (kg_driver.cpp:112).
+
+    guard=True appends bad_at (B,) int32 to the return (early-exit stability
+    guard, models/evolve.evolve_guarded); record_energy=True additionally
+    appends {"energy": (B, S)} — the discrete conserved energy
+    (kinetic + gradient + potential, the on-device analogue of
+    analysis/energy.energy_terms) recorded during generation.
 
     kind may additionally be "stochastic_phi4": Stoermer-Verlet with
     counter-based per-(sample, step) noise keys — reproducible, unlike the
@@ -213,6 +246,28 @@ def make_realwave_trajectory_fn(kind, shape, Lx, dt, *, integrator="gautschi",
     else:
         vstep = _vmap_fields(single_step, use_c)
 
+    dV = dx ** len(shape)
+    spatial_axes = tuple(range(1, len(shape) + 1))
+    # potential densities matching analysis/energy.energy_terms (the
+    # reference's vocabulary, incl. its phi4/KG quirks) plus the integral
+    # of g for the kinds the analysis tables leave out
+    potential_density = {
+        "sine_gordon": lambda u: 1.0 - jnp.cos(u),
+        "double_sine_gordon": lambda u: (1.0 - jnp.cos(u)
+                                         + 0.3 * (1.0 - jnp.cos(2.0 * u))),
+        "hyperbolic_sine_gordon": lambda u: jnp.cosh(u) - 1.0,
+        "klein_gordon": lambda u: 0.5 * u ** 4,
+        "phi4": lambda u: u ** 2 - u ** 4,
+        "stochastic_phi4": lambda u: u ** 2 - u ** 4,
+    }[kind]
+
+    def energy_of(state):
+        u, u_past = state
+        v = (u - u_past) / dt
+        grad2 = sum(jnp.gradient(u, dx, axis=a) ** 2 for a in spatial_axes)
+        dens = (0.5 * v ** 2 + 0.5 * grad2 + potential_density(u))
+        return jnp.sum(dens, axis=spatial_axes) * dV       # (B,)
+
     @partial(jax.jit, static_argnums=(4, 5))
     def traj(u0, v0, m, c, num_snapshots, snapshot_freq):
         u0 = jnp.asarray(u0, rdtype)
@@ -235,9 +290,17 @@ def make_realwave_trajectory_fn(kind, shape, Lx, dt, *, integrator="gautschi",
             u, u_past = st
             return u, (u - u_past) / dt
 
-        u_s, v_s = evolve(step, state0, num_snapshots, snapshot_freq,
-                          observe=observe)                 # (S, B, *shape)
-        return jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1)
+        if not guard:
+            u_s, v_s = evolve(step, state0, num_snapshots, snapshot_freq,
+                              observe=observe)             # (S, B, *shape)
+            return jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1)
+        scalars = {"energy": energy_of} if record_energy else None
+        (u_s, v_s), bad_at, series = evolve_guarded(
+            step, state0, num_snapshots, snapshot_freq, observe=observe,
+            batched=True, scalars=scalars)
+        series = {k: jnp.moveaxis(v, 0, 1) for k, v in series.items()}
+        out = (jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1), bad_at)
+        return out + ((series,) if record_energy else ())
 
     if mesh is None:
         return traj

@@ -41,10 +41,14 @@ def save_run(path, *, problem_type, run_id, run_index, phenomenon,
              phenomenon_params, shape, extents, T, nt, num_snapshots,
              u0, u, v0=None, v=None, m=None, c=None, m_type="constant",
              m_attrs=None, elapsed_time=0.0, boundary_condition="noflux",
-             extra_meta=None):
+             extra_meta=None, scalar_series=None):
     """Write one trajectory archive. `shape`/`extents` are grid (ny, nx[, nz]
     ordering consistent with the arrays); complex trajectories are stored as
-    native complex datasets (host-side numpy, no TPU transfer concerns)."""
+    native complex datasets (host-side numpy, no TPU transfer concerns).
+
+    scalar_series: optional {name: (num_snapshots,) array} recorded during
+    generation (e.g. on-device mass/energy, engine.make_*_trajectory_fn with
+    record_energy=True) — stored under the `energy/` group."""
     dim = len(shape)
     is_real = v is not None
     with h5py.File(path, "w") as f:
@@ -93,6 +97,10 @@ def save_run(path, *, problem_type, run_id, run_index, phenomenon,
         f.create_dataset("u", data=np.asarray(u))
         if v is not None:
             f.create_dataset("v", data=np.asarray(v))
+        if scalar_series:
+            eg = f.create_group("energy")
+            for name, values in scalar_series.items():
+                eg.create_dataset(name, data=np.asarray(values))
 
         meshes = _grid_meshes(shape, extents)
         for name, mesh in zip(["X", "Y", "Z"], meshes):

@@ -278,3 +278,147 @@ def test_step_timer_and_annotate():
         t.lap(x)
     s = t.summary()
     assert s["count"] == 3 and s["steps_per_s"] > 0
+
+
+# -- in-loop stability guard (evolve_guarded; gen-2 sg_solver_dev.hpp:7-90) --
+
+def test_guarded_engine_matches_unguarded_when_stable():
+    """guard=True on a stable run: identical snapshots, bad_at == S, and
+    the recorded on-device mass matches a host-side computation."""
+    B = 2
+    m, c = _rng_fields(B)
+    u0 = _gauss_ic(B)
+    packed = np.stack([u0.real, u0.imag], axis=1)
+    plain_fn = make_nlse_trajectory_fn(
+        "cubic", (N, N), LX, DT, integrator="ss2", krylov_m=6,
+        dtype=jnp.complex128)
+    guard_fn = make_nlse_trajectory_fn(
+        "cubic", (N, N), LX, DT, integrator="ss2", krylov_m=6,
+        dtype=jnp.complex128, guard=True, record_energy=True)
+    ref = np.asarray(plain_fn(packed, m, c, SNAPS, FREQ))
+    out, bad_at, series = guard_fn(packed, m, c, SNAPS, FREQ)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-12, atol=1e-14)
+    np.testing.assert_array_equal(np.asarray(bad_at), SNAPS)
+
+    mass = np.asarray(series["mass"])          # (B, S)
+    dx = 2 * LX / (N - 1)
+    u = ref[:, :, 0] + 1j * ref[:, :, 1]
+    host_mass = np.sum(np.abs(u) ** 2, axis=(2, 3)) * dx * dx
+    np.testing.assert_allclose(mass, host_mass, rtol=1e-10)
+
+
+def test_guarded_engine_early_exit_on_divergence():
+    """A deliberately diverging run (SV at an absurd dt) must be flagged at
+    its first bad snapshot and the loop must stop: snapshots past the batch-
+    wide exit point stay zero-filled — the proof that the while_loop bailed
+    instead of burning all nt steps."""
+    B = 2
+    m, c = _rng_fields(B, seed=5)
+    u0 = 5.0 * _gauss_ic(B, complex_=False)
+    v0 = np.zeros_like(u0)
+    snaps = 8
+    fn = make_realwave_trajectory_fn(
+        "klein_gordon", (N, N), LX, 50.0, integrator="sv", krylov_m=6,
+        dtype=jnp.float64, guard=True, record_energy=True)
+    u_t, v_t, bad_at, series = fn(u0, v0, m, c, snaps, 2)
+    u_t, bad_at = np.asarray(u_t), np.asarray(bad_at)
+    assert (bad_at < snaps).all(), bad_at
+    worst = int(bad_at.max())
+    assert worst < snaps - 1, "divergence must hit before the last snapshot"
+    # everything past the batch-wide exit is untouched buffer (zeros)
+    np.testing.assert_array_equal(u_t[:, worst + 1:], 0.0)
+    # the recorded energy goes non-finite exactly where the guard tripped
+    energy = np.asarray(series["energy"])
+    for b in range(B):
+        assert not np.isfinite(energy[b, bad_at[b]])
+
+
+def test_datagen_guard_skips_diverging_runs(tmp_path):
+    """End-to-end: a sweep whose every run diverges archives nothing and
+    says why (the in-loop guard message)."""
+    cfg = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="klein_gordon",
+        nx=N, Lx=LX, T=500.0, nt=10, snapshots=5, num_runs=2, krylov_m=6,
+        integrator="sv", seed=3, output_dir=str(tmp_path))
+    assert cfg.guard          # the production default
+    written = Datagen(cfg).run()
+    assert written == []
+    assert list((tmp_path / "hdf5").glob("*.h5")) == []
+
+
+def test_datagen_record_energy_archived(tmp_path):
+    """record_energy=True stores the on-device series under energy/ in the
+    archive, aligned with the snapshot axis."""
+    cfg = DatagenConfig(
+        family="nlse", phenomenon="multi_soliton", system="cubic",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=1, krylov_m=6,
+        integrator="ss2", seed=3, output_dir=str(tmp_path),
+        record_energy=True)
+    written = Datagen(cfg).run()
+    assert len(written) == 1
+    import h5py
+    with h5py.File(written[0], "r") as f:
+        mass = f["energy/mass"][()]
+    assert mass.shape == (3,)
+    assert np.isfinite(mass).all()
+    # the on-device series must equal the same functional computed from the
+    # archived snapshots on the host (drift itself is physics: the Neumann
+    # edge-copy is not exactly mass-conserving on a coarse grid)
+    with h5py.File(written[0], "r") as f:
+        u = f["u"][()]
+        Lx_, nx_ = f["grid"].attrs["Lx"], f["grid"].attrs["nx"]
+    dx = 2.0 * Lx_ / (nx_ - 1)
+    host_mass = np.sum(np.abs(u) ** 2, axis=(1, 2)) * dx * dx
+    np.testing.assert_allclose(mass, host_mass, rtol=1e-5)
+
+
+# -- async archiving + native npy format ------------------------------------
+
+def test_archive_async_matches_sync(tmp_path):
+    """Background-thread archiving produces byte-equivalent datasets to the
+    synchronous path, in the same order."""
+    import h5py
+    outs = {}
+    for mode in (True, False):
+        d = tmp_path / ("async" if mode else "sync")
+        cfg = DatagenConfig(
+            family="nlse", phenomenon="multi_soliton", system="cubic",
+            nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=3,
+            batch_size=2, krylov_m=6, integrator="ss2", seed=11,
+            output_dir=str(d), archive_async=mode)
+        outs[mode] = Datagen(cfg).run()
+    assert len(outs[True]) == len(outs[False]) == 3
+    for pa, ps in zip(outs[True], outs[False]):
+        with h5py.File(pa, "r") as fa, h5py.File(ps, "r") as fs:
+            np.testing.assert_array_equal(fa["u"][()], fs["u"][()])
+            assert (fa["metadata"].attrs["run_index"]
+                    == fs["metadata"].attrs["run_index"])
+
+
+def test_archive_npy_format(tmp_path):
+    """--format npy: the device drivers' own trajectory format
+    (util.hpp:37-92), streamed through the native async writer. Every array
+    must round-trip through np.load and match the HDF5 archive content."""
+    import h5py
+    cfg_np = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, krylov_m=6,
+        integrator="sv", seed=5, output_dir=str(tmp_path / "np"),
+        archive_format="npy", record_energy=True)
+    written = Datagen(cfg_np).run()
+    assert len(written) == 2
+    base = written[0].with_suffix("")     # strip .json
+    meta = __import__("json").loads(written[0].read_text())
+    assert meta["problem_type"] == "sine_gordon"
+    u = np.load(f"{base}_u.npy")
+    assert u.shape == (3, N, N) and np.isfinite(u).all()
+    for suffix in ("v", "u0", "v0", "m", "c", "energy"):
+        assert (base.parent / f"{base.name}_{suffix}.npy").exists(), suffix
+
+    cfg_h5 = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, krylov_m=6,
+        integrator="sv", seed=5, output_dir=str(tmp_path / "h5"))
+    h5_written = Datagen(cfg_h5).run()
+    with h5py.File(h5_written[0], "r") as f:
+        np.testing.assert_array_equal(u, f["u"][()])
