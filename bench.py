@@ -8,7 +8,13 @@ therefore measured against the reference's implied production operating point:
 its 2D sweep budget is 30 runs of (200^2 grid, nt=2000 steps) per 15-minute
 SLURM task on one GPU (finalized_scripts/nlse_2d_launch.sh:5,47-50,66), i.e.
 ~66.7 steps/s at 200^2; scaled by grid area to 1024^2 that is ~2.54 steps/s.
-This proxy is documented, not measured from the reference binaries.
+
+`vs_reference_host_measured` is a MEASURED anchor: the reference's own Eigen
+host driver (nlse_cubic_driver.cpp, the only reference path that runs without
+an NVIDIA GPU), compiled with the reference's release flags and timed at this
+exact operating point by benchmarks/reference_cpu_bench.py —
+1.113 steps/s (complex128, 1 CPU). Regenerate with
+`python benchmarks/reference_cpu_bench.py`.
 """
 
 import json
@@ -28,6 +34,9 @@ CHUNK = 2000         # steps per timed jit call (amortizes the D2H readback,
 REPEATS = 2
 
 BASELINE_STEPS_PER_SEC = 30 * 2000 / (15 * 60) * (200 / N) ** 2
+# measured by benchmarks/reference_cpu_bench.py on this machine (see module
+# docstring); f64 host vs our f32 TPU path — the reference has no f32 CPU path
+REFERENCE_HOST_MEASURED_STEPS_PER_SEC = 1.113
 
 
 def main():
@@ -83,6 +92,8 @@ def main():
         "value": round(steps_per_sec, 3),
         "unit": "time-steps/s/chip",
         "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+        "vs_reference_host_measured": round(
+            steps_per_sec / REFERENCE_HOST_MEASURED_STEPS_PER_SEC, 1),
     }))
 
 
