@@ -29,7 +29,7 @@ from nlsolvers_tpu.models import realwave as rw
 from nlsolvers_tpu.models.evolve import evolve
 from nlsolvers_tpu.models.nonlinearities import (NLSE_KINDS, REALWAVE_KINDS,
                                                  nlse_density, realwave_g)
-from nlsolvers_tpu.ops import boundaries as bc
+from nlsolvers_tpu.ops import boundaries as bcs
 from nlsolvers_tpu.ops import operators as ops
 
 __all__ = ["Problem", "nlse_problem", "realwave_problem",
@@ -60,6 +60,17 @@ def run(problem, state0, num_snapshots, snapshot_freq, jit=True):
 
 
 def _nlse_operator(shape, dx, dy, c_field, variant, rdtype):
+    if variant == "separated":
+        # the per-direction pair (laplacians.hpp:220-269) applied as
+        # Lx u + Ly u — sums EXACTLY to the full 2D no-flux operator incl.
+        # its -3 corner diagonal (-1.5 + -1.5), which is where that quirk
+        # comes from. Exposed for dimension-split integrator experiments;
+        # no fused-Pallas descriptor, so it always runs the XLA path.
+        if c_field is not None or len(shape) != 2:
+            raise ValueError("variant='separated' is 2D isotropic only")
+        apply_x, apply_y = ops.separated_laplacian_2d(shape, dx, dy,
+                                                      dtype=rdtype)
+        return lambda u: apply_x(u) + apply_y(u)
     if c_field is not None:
         if len(shape) == 2:
             return ops.anisotropic_laplacian_2d(c_field, dx, dy)
@@ -71,8 +82,8 @@ def _nlse_operator(shape, dx, dy, c_field, variant, rdtype):
 
 
 def _neumann(shape):
-    return (bc.neumann_no_velocity_2d if len(shape) == 2
-            else bc.neumann_no_velocity_3d)
+    return (bcs.neumann_no_velocity_2d if len(shape) == 2
+            else bcs.neumann_no_velocity_3d)
 
 
 def _resident_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
@@ -118,12 +129,21 @@ def _resident_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
 def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
                  sigma1=1.0, sigma2=-0.1, kappa=1.0, integrator="ss2",
                  krylov_m=None, dtype=default_complex_dtype,
-                 variant="reference", apply_bc=True, reorth=True):
+                 variant="reference", apply_bc=True, reorth=True,
+                 bc="noflux"):
     """NLSE family: i u_t + div(c grad u) + rho_kind(u) u = 0.
 
     kind in {"cubic", "cubic_quintic", "saturable"}; integrator in
     {"ss2", "sewi", "sewi_fused", "gautschi"}. `shape` is the full grid
     (ny, nx) or (nz, ny, nx); the domain is [-Lx, Lx]^d.
+
+    bc: "noflux" (reference production BC), "radiating" (experimental
+    radiating envelope, boundaries.hpp:59-121, 2D only), or "none".
+    apply_bc=False is the legacy spelling of bc="none".
+
+    variant additionally accepts "separated": the per-direction (Lx, Ly)
+    pair (laplacians.hpp:220-269) applied as Lx u + Ly u — identical matrix
+    to the full 2D no-flux operator, XLA path only.
 
     Parity: m_field defaults to ZERO like the reference NLSE drivers
     (nlse_cubic_driver.cpp:64: m = VectorXd::Zero unless an m file is given),
@@ -131,6 +151,7 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
     2D (nlse_cubic_driver_2d.cpp:105), 10 for 3D.
     """
     assert kind in NLSE_KINDS
+    assert bc in ("noflux", "radiating", "none")
     rdtype = real_dtype_of(dtype)
     dim = len(shape)
     nx = shape[-1]
@@ -141,14 +162,26 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
     if m_field is None:
         m_field = np.zeros(shape, rdtype)
     m_field = np.asarray(m_field, rdtype)
+    if not apply_bc:
+        bc = "none"
 
     lap = _nlse_operator(shape, dx, dx, c_field, variant, rdtype)
     rho = nlse_density(kind, m_field, sigma1=sigma1, sigma2=sigma2, kappa=kappa)
-    neumann = _neumann(shape) if apply_bc else (lambda u: u)
+    if bc == "radiating":
+        if dim != 2:
+            raise ValueError("radiating BC is 2D only (boundaries.hpp:59)")
+        neumann = lambda u: bcs.radiating_nlse_2d(u, m_field, dx, dx)
+    elif bc == "noflux":
+        neumann = _neumann(shape)
+    else:
+        neumann = lambda u: u
 
-    resident = _resident_ss2(kind, shape, dt, krylov_m, lap, m_field,
-                             sigma1, sigma2, kappa, apply_bc, dtype,
-                             integrator, c_field, reorth)
+    # the resident kernel bakes the no-flux ghost copy in-kernel; other BCs
+    # and the separated operator take the general path
+    resident = (None if bc == "radiating" or variant == "separated" else
+                _resident_ss2(kind, shape, dt, krylov_m, lap, m_field,
+                              sigma1, sigma2, kappa, bc == "noflux", dtype,
+                              integrator, c_field, reorth))
     if resident is not None:
         step, init, observe = resident
     elif integrator == "ss2":
@@ -196,7 +229,8 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
         raise ValueError(f"unknown NLSE integrator {integrator!r}")
 
     meta = dict(equation=f"nlse_{kind}", integrator=integrator, shape=shape,
-                Lx=Lx, dx=dx, dt=dt, krylov_m=krylov_m, dim=dim,
+                Lx=Lx, dx=dx, dt=dt, krylov_m=krylov_m, dim=dim, bc=bc,
+                variant=variant,
                 params=dict(sigma1=sigma1, sigma2=sigma2, kappa=kappa))
     return Problem(step, init, observe, meta)
 

@@ -118,6 +118,11 @@ def build_parser():
     nlse.add_argument("--sigma2", type=float, default=-0.1)
     nlse.add_argument("--kappa", type=float, default=1.0)
     nlse.add_argument("--no-normalize-ic", action="store_true")
+    nlse.add_argument("--bc", type=str, default="noflux",
+                      choices=["noflux", "radiating", "none"],
+                      help="boundary condition; 'radiating' is the "
+                           "experimental radiating envelope "
+                           "(boundaries.hpp:59-121, 2D only)")
 
     rw = sub.add_parser("realwave", help="real wave family (SG/KG/phi4)")
     common(rw, REALWAVE_SYSTEMS, "sine_gordon", ["gautschi", "sv"],
@@ -175,7 +180,8 @@ def config_from_args(args):
     if args.family == "nlse":
         kwargs.update(sigma1=args.sigma1, sigma2=args.sigma2,
                       kappa=args.kappa,
-                      normalize_ic=not args.no_normalize_ic)
+                      normalize_ic=not args.no_normalize_ic,
+                      boundary=args.bc)
     else:
         kwargs.update(noise_strength=args.noise_strength)
     return DatagenConfig(**kwargs)

@@ -95,6 +95,8 @@ class DatagenConfig:
     #                                  (gz, gy, gx) — for single trajectories
     #                                  too large for one chip
     normalize_ic: bool = True        # NLSE only (complex_launcher_2d.py:95)
+    boundary: str = "noflux"         # NLSE: "noflux" | "radiating" | "none"
+    #                                  (radiating: boundaries.hpp:59-121)
     guard: bool = True               # in-loop stability guard: on-device
     #                                  per-snapshot finiteness + early exit
     #                                  when every lane in a batch diverged
@@ -240,7 +242,8 @@ class Datagen:
                 sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
                 dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
                 mesh=engine_mesh, batch_axis=cfg.batch_axis,
-                guard=cfg.guard, record_energy=cfg.record_energy)
+                guard=cfg.guard, record_energy=cfg.record_energy,
+                boundary=cfg.boundary)
         return make_realwave_trajectory_fn(
             cfg.system, cfg.shape, cfg.Lx, cfg.dt,
             integrator=cfg.integrator, krylov_m=cfg.krylov_m,

@@ -77,7 +77,7 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
                             dtype=jnp.complex64, variant="reference",
                             apply_bc=True, reorth=True, use_c=True,
                             mesh=None, batch_axis="batch", guard=False,
-                            record_energy=False):
+                            record_energy=False, boundary="noflux"):
     """Builds traj(u0_packed, m, c, num_snapshots, snapshot_freq).
 
     u0_packed: (B, 2, *shape) real — stacked (real, imag) per trajectory.
@@ -95,11 +95,18 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
     the same executable. With a mesh, inputs are sharded over `batch_axis`.
     """
     assert kind in NLSE_KINDS
+    assert boundary in ("noflux", "radiating", "none")
     rdtype = real_dtype_of(dtype)
     nx = shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     lap_of = _lap_builder(shape, dx, variant, rdtype)
-    neumann = _neumann(shape, apply_bc)
+    if boundary == "radiating":
+        if len(shape) != 2:
+            raise ValueError("radiating BC is 2D only (boundaries.hpp:59)")
+        apply_boundary = lambda u, m_f: bc.radiating_nlse_2d(u, m_f, dx, dx)
+    else:
+        fixed = _neumann(shape, apply_bc and boundary == "noflux")
+        apply_boundary = lambda u, m_f: fixed(u)
     two_state = integrator in ("sewi", "sewi_fused", "gautschi")
 
     def single_step(state, i, m_f, c_f):
@@ -109,7 +116,7 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
         if integrator == "ss2":
             u = nlse_mod.ss2_step(state, lap, rho, dt, m=krylov_m,
                                   reorth=reorth)
-            return neumann(u)
+            return apply_boundary(u, m_f)
         if integrator == "sewi":
             two_step = nlse_mod.sewi_step
         elif integrator == "sewi_fused":
@@ -127,7 +134,7 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
                             reorth=reorth)
 
         u_new, u_prev_new = lax.cond(i == 1, boot, normal, None)
-        return neumann(u_new), u_prev_new
+        return apply_boundary(u_new, m_f), u_prev_new
 
     vstep = _vmap_fields(single_step, use_c)
 

@@ -422,3 +422,19 @@ def test_archive_npy_format(tmp_path):
     h5_written = Datagen(cfg_h5).run()
     with h5py.File(h5_written[0], "r") as f:
         np.testing.assert_array_equal(u, f["u"][()])
+
+
+def test_cli_radiating_bc(tmp_path):
+    """--bc radiating routes the engine through the radiating envelope BC
+    (boundaries.hpp:59-121) end to end."""
+    from nlsolvers_tpu.pipeline.__main__ import main
+    rc = main(["nlse", "--phenomenon", "multi_soliton", "--nx", str(N),
+               "--T", "0.01", "--nt", "10", "--snapshots", "2",
+               "--num-runs", "1", "--krylov-m", "6", "--bc", "radiating",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+    files = list((tmp_path / "hdf5").glob("*.h5"))
+    assert len(files) == 1
+    import h5py
+    with h5py.File(files[0], "r") as f:
+        assert np.isfinite(f["u"][()]).all()

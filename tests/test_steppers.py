@@ -260,3 +260,42 @@ def test_nlse_sewi_default_m_field_stays_finite():
     mass1 = np.sum(np.abs(out[-1]) ** 2)
     # drift is Krylov truncation of exp(i dt L) at m=8, not roundoff
     assert abs(mass1 - mass0) / mass0 < 1e-3
+
+
+def test_nlse_separated_variant_matches_full_operator():
+    """variant='separated' (Lx u + Ly u, laplacians.hpp:220-269) must evolve
+    identically to the full 2D no-flux operator — the per-direction
+    diagonals sum to the full matrix including its -3 corner quirk."""
+    n = 24
+    rng = np.random.default_rng(4)
+    u0 = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    m = np.ones((n, n))
+    out = {}
+    for variant in ("reference", "separated"):
+        prob = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3, m_field=m,
+                                     integrator="ss2", krylov_m=8,
+                                     dtype=jnp.complex128, variant=variant)
+        out[variant] = np.asarray(problems.run(prob, prob.init(u0), 3, 4))
+    np.testing.assert_allclose(out["separated"], out["reference"],
+                               rtol=1e-12, atol=1e-13)
+
+
+def test_nlse_radiating_bc_stability_smoke():
+    """bc='radiating' (boundaries.hpp:59-121): an outgoing wavepacket must
+    stay finite, and the radiating ring must not reflect mass back in — the
+    run's mass may shrink (energy leaves) but must not grow."""
+    n = 48
+    Lx = 10.0
+    x = np.linspace(-Lx, Lx, n)
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    # packet launched toward the +x boundary
+    u0 = np.exp(-((X - 5.0) ** 2 + Y**2) / 2.0) * np.exp(2.0j * X)
+    m = np.ones((n, n))
+    prob = problems.nlse_problem("cubic", (n, n), Lx, 2e-3, m_field=m,
+                                 integrator="ss2", krylov_m=8,
+                                 dtype=jnp.complex128, bc="radiating")
+    assert prob.meta["bc"] == "radiating"
+    traj = np.asarray(problems.run(prob, prob.init(u0), 6, 20))
+    assert np.isfinite(traj.view(np.float64)).all()
+    mass = np.sum(np.abs(traj) ** 2, axis=(1, 2))
+    assert mass[-1] <= mass[0] * 1.02, mass
