@@ -27,6 +27,18 @@ default_krylov_m = 10
 #   "off"       never
 pallas_mode = "auto"
 
+# Pipelined single-pass fused Lanczos iteration (ops/pallas/lanczos2d.
+# _pipe_call): merges iteration j's reconstruction with iteration j+1's
+# stencil + projections in ONE kernel, carrying the cross-iteration
+# corrections (<W_i, W_{j-1}> gram terms) as scalars. Streams j+2 columns
+# per iteration instead of the two-pass path's 2j+3 (73 vs 117 column
+# streams per m=10 matfunc). Same math as the two-pass kernels to rounding;
+# tests pin both against the pure-XLA path. Applies to the unsharded 2D
+# descriptors (iso + anisotropic); 3D keeps the two-pass kernels, where the
+# z-offset neighbor blocks would make in-register reconstruction re-stream
+# every input 3x.
+pallas_pipeline = True
+
 # Single-kernel VMEM-resident SS2 step (ops/pallas/resident2d.py).
 # Default OFF: measured on v5e, Mosaic reaches only ~220 GB/s on resident
 # full-array VMEM access (vs ~600+ GB/s achieved by the pipelined streaming

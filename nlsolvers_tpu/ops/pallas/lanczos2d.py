@@ -621,6 +621,163 @@ def _iter_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     )
 
 
+def _pipe_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
+               mode="iso2d", last=False):
+    """ONE-kernel pipelined Lanczos iteration: pass2(j) fused with pass1(j+1).
+
+    Reconstructs W_{j+1} = s_j*av_j - sum_i c_i W_i IN-REGISTER from the
+    unscaled stencil image av_j = A(W_j) written by the previous pipe kernel,
+    computes ||W_{j+1}||^2 and the gram dots <W_i, W_{j+1}>, then stencils
+    the reconstructed block (halo rows reconstructed from a stacked halo
+    input by the same linear combination) and emits av_{j+1} = A(W_{j+1})
+    with its projection dots <W_i, av_{j+1}> — so iteration j+1's pass1
+    never re-reads the basis. Each iteration streams j+2 columns + 2 writes
+    instead of the two-pass (2j+3) + 2: 73 vs 117 column-streams per m=10
+    matfunc (the caller, lanczos_planar, folds the -beta*s*W_{j-1} recurrence
+    term and the <W_i, W_{j-1}> cross-dots into the c_i / raw scalars).
+
+    Inputs: scal (j+2, 2) SMEM [(s_j, 0), c_0..c_j complex], av_j block,
+    stacked halo rows ((j+2)*P, nblk, 2, nx) of [av_j, W_0..W_j] (omitted
+    when last), aniso weight streams (wx, wy, wy halo row; iso2d has none),
+    W_0..W_j blocks. Outputs: W_{j+1}, av_{j+1}*, SMEM nsq (1,1),
+    gram (j+1, 2), d (j+2, 2)*.  (* omitted when last=True.)
+    """
+    grid = (ny // tile,)
+    blk = (P, tile, nx)
+    wblk = (1, tile, nx)
+    nop = {"iso2d": 0, "aniso2d": 3}[mode]
+    nh = 0 if last else 1
+
+    def kernel(scal, av_ref, *rest):
+        h_ref = None if last else rest[0]
+        ops_ = rest[nh:nh + nop]
+        wrefs = rest[nh + nop:nh + nop + j + 1]
+        outs = rest[nh + nop + j + 1:]
+        if last:
+            wn_out, nsq_out, gram_out = outs
+        else:
+            wn_out, av_out, nsq_out, gram_out, d_out = outs
+        i = pl.program_id(0)
+        s = scal[0, 0]
+        av = av_ref[...]
+        Ws = [wrefs[idx][...] for idx in range(j + 1)]
+        a0 = s * av[0]
+        a1 = s * av[1] if P == 2 else None
+        for idx in range(j + 1):
+            cr = scal[1 + idx, 0]
+            if P == 1:
+                a0 = a0 - cr * Ws[idx][0]
+            else:
+                ci = scal[1 + idx, 1]
+                a0 = a0 - (cr * Ws[idx][0] - ci * Ws[idx][1])
+                a1 = a1 - (cr * Ws[idx][1] + ci * Ws[idx][0])
+        wn = a0[None] if P == 1 else jnp.stack([a0, a1])
+        wn_out[...] = wn
+
+        @pl.when(i == 0)
+        def _():
+            nsq_out[0, 0] = 0.0
+            for idx in range(j + 1):
+                gram_out[idx, 0] = 0.0
+                gram_out[idx, 1] = 0.0
+            if not last:
+                for idx in range(j + 2):
+                    d_out[idx, 0] = 0.0
+                    d_out[idx, 1] = 0.0
+
+        nsq = jnp.sum(a0 * a0)
+        if P == 2:
+            nsq = nsq + jnp.sum(a1 * a1)
+        nsq_out[0, 0] += nsq
+        for idx in range(j + 1):
+            re, im = _dots(P, Ws[idx], wn)
+            gram_out[idx, 0] += re
+            gram_out[idx, 1] += im
+
+        if last:
+            return
+        # Halo rows of the reconstructed column: same linear combination
+        # applied to the inputs' gathered halo rows (reconstruction is
+        # globally pointwise, so it commutes with row selection).
+        h = h_ref[...]                      # ((j+2)*P, 1, 2, nx)
+        hrows = []                          # per plane: (up, dn) as (1, nx)
+        for p in range(P):
+            hu = s * h[p, 0, 0:1, :]
+            hd = s * h[p, 0, 1:2, :]
+            hrows.append([hu, hd])
+        for idx in range(j + 1):
+            cr = scal[1 + idx, 0]
+            base = (1 + idx) * P
+            if P == 1:
+                hrows[0][0] = hrows[0][0] - cr * h[base, 0, 0:1, :]
+                hrows[0][1] = hrows[0][1] - cr * h[base, 0, 1:2, :]
+            else:
+                ci = scal[1 + idx, 1]
+                w0u, w1u = h[base, 0, 0:1, :], h[base + 1, 0, 0:1, :]
+                w0d, w1d = h[base, 0, 1:2, :], h[base + 1, 0, 1:2, :]
+                hrows[0][0] = hrows[0][0] - (cr * w0u - ci * w1u)
+                hrows[0][1] = hrows[0][1] - (cr * w0d - ci * w1d)
+                hrows[1][0] = hrows[1][0] - (cr * w1u + ci * w0u)
+                hrows[1][1] = hrows[1][1] - (cr * w1d + ci * w0d)
+        up = jnp.stack([hrows[p][0] for p in range(P)])     # (P, 1, nx)
+        dn = jnp.stack([hrows[p][1] for p in range(P)])
+        if mode == "aniso2d":
+            avn = _stencil_aniso(wn, up, dn, ops_[0][...], ops_[1][...],
+                                 ops_[2][:, 0, :, :], i * tile, tile, ny,
+                                 nx, scale, sign)
+        else:
+            avn = _stencil(wn, up, dn, i * tile, tile, ny, nx, scale,
+                           sign, variant)
+        av_out[...] = avn
+        for idx in range(j + 1):
+            re, im = _dots(P, Ws[idx], avn)
+            d_out[idx, 0] += re
+            d_out[idx, 1] += im
+        re, im = _dots(P, wn, avn)
+        d_out[j + 1, 0] += re
+        d_out[j + 1, 1] += im
+
+    center = lambda i: (0, i, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((j + 2, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec,                                             # av_j
+    ]
+    if not last:
+        in_specs.append(pl.BlockSpec(((j + 2) * P, 1, 2, nx),
+                                     lambda i: (0, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    if mode == "aniso2d":
+        wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
+        in_specs += [wspec, wspec,
+                     pl.BlockSpec((1, 1, 1, nx), lambda i: (0, i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+    in_specs += [blkspec for _ in range(j + 1)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((P, ny, nx), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)]
+    if not last:
+        out_specs.insert(1, blkspec)
+        out_shape.insert(1, jax.ShapeDtypeStruct((P, ny, nx), jnp.float32))
+        out_specs.append(pl.BlockSpec((j + 2, 2), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((j + 2, 2), jnp.float32))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_compiler_params(j + 5 + nop, tile, nx, P),
+        interpret=interpret,
+    )
+
+
 def _pass2_call(j, P, ny, nx, tile, interpret):
     """pallas_call computing w' = w - sum_i q_i W_i (complex coefficients)
     fused with ||w'||^2. Inputs: q (j+1, 2) SMEM, w, W_0..W_j. Outputs:
@@ -675,6 +832,78 @@ def _pass2_call(j, P, ny, nx, tile, interpret):
         compiler_params=_compiler_params(j + 4, tile, nx, P),
         interpret=interpret,
     )
+
+
+def _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode, op_args,
+                  extra_ops, safe_inv, n_op, interpret):
+    """Pipelined single-pass Lanczos driver (kernels: _pipe_call).
+
+    Scalar recurrence: w_j = s_j av_j - bs W_{j-1} (bs = beta_{j-1} s_{j-1})
+    is never materialized. Its projections raw_i = <W_i, w_j> are recovered
+    exactly as s_j d_i - bs <W_i, W_{j-1}> with d_i = <W_i, av_j> from the
+    previous pipe kernel, and the gram terms <W_i, W_{j-1}> from the kernel
+    before that (i = j-1: beta_{j-2}^2; i = j: conj of the previous gram's
+    last entry — <a, b> = conj(<b, a>)). The reconstruction coefficients
+    fold the recurrence term in: c_i = s_i^2 raw_i + (i == j-1) bs. Same
+    linear algebra as the two-pass loop; differs only in dot/FMA rounding
+    (tests/test_pallas.py pins both against the pure-XLA path).
+    """
+    nsq0 = jnp.sum(u * u)
+    beta0 = jnp.sqrt(nsq0)
+    # init kernel: av_0 = A(W_0) and d^{(0)}_0 = <W_0, av_0> — pass1 with
+    # scal = [1, 0] computes exactly that (w = 1*A(W_0) - 0).
+    tile0 = _pick_tile(ny, nx, 2 + n_op + 2 * (mode == "aniso2d"),
+                       nplanes=P)
+    scal0 = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    av, d_prev = _pass1_call(0, P, ny, nx, tile0, scale, sign, variant,
+                             interpret, mode=mode)(scal0, *op_args(u, tile0))
+    W, s = [u], [safe_inv(beta0)]
+    alphas, betas = [], []
+    g_prev = g_prev2 = None
+    zero = jnp.float32(0.0)
+    for j in range(m - 1):
+        sj = s[j].astype(jnp.float32)
+        if j == 0:
+            raw = sj * d_prev
+            bs = zero
+        else:
+            bs = (betas[j - 1] * s[j - 1]).astype(jnp.float32)
+            parts = []
+            if j >= 2:
+                parts.append(g_prev2)                       # i <= j-2
+            nb2 = (betas[j - 2] ** 2) if j >= 2 else nsq0   # i = j-1
+            parts.append(jnp.stack([nb2.astype(jnp.float32), zero])[None])
+            parts.append(jnp.stack([g_prev[j - 1, 0],      # i = j (conj)
+                                    -g_prev[j - 1, 1]])[None])
+            raw = sj * d_prev - bs * jnp.concatenate(parts, axis=0)
+        sv = jnp.stack([si.astype(jnp.float32) for si in s])   # (j+1,)
+        proj = sv[:, None] * raw
+        alphas.append(proj[j, 0])
+        q = sv[:, None] * proj
+        c = q if j == 0 else q.at[j - 1, 0].add(bs)
+        scal = jnp.concatenate([jnp.stack([sj, zero])[None], c], axis=0)
+        lastk = j == m - 2
+        tile = _pick_tile(ny, nx, j + 5 + 3 * (mode == "aniso2d"),
+                          nplanes=P)
+        args = [scal, av]
+        if not lastk:
+            halos = jnp.stack(
+                [_gather_halo_rows(a, tile, ny) for a in [av] + W])
+            args.append(halos.reshape((j + 2) * P, ny // tile, 2, nx))
+        args.extend(extra_ops(tile))
+        args.extend(W)
+        res = _pipe_call(j, P, ny, nx, tile, scale, sign, variant,
+                         interpret, mode=mode, last=lastk)(*args)
+        if lastk:
+            wn, nsq, gram = res
+        else:
+            wn, av, nsq, gram, d_prev = res
+        b = jnp.sqrt(nsq[0, 0])
+        W.append(wn)
+        betas.append(b)
+        s.append(safe_inv(b))
+        g_prev2, g_prev = g_prev, gram
+    return W, s, alphas, betas, beta0
 
 
 def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
@@ -821,6 +1050,17 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
     # mirrors the safe_div in ops/krylov._lanczos_cols.
     def safe_inv(nrm):
         return jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1), 0.0)
+
+    from nlsolvers_tpu import config as _cfg
+    if (_cfg.pallas_pipeline and not fused_iter and m > 1
+            and mode in ("iso2d", "aniso2d")):
+        def extra_ops(tile):
+            if mode == "aniso2d":
+                return (wx, wy, halo_rows(wy, tile, per_block=1))
+            return ()
+
+        return _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode,
+                             op_args, extra_ops, safe_inv, n_op, interpret)
 
     beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
     W = [u]
