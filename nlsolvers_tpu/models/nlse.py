@@ -22,7 +22,8 @@ import numpy as np
 from nlsolvers_tpu.ops.krylov import MATFUNCS, expm_apply, matfunc_apply
 from nlsolvers_tpu.config import default_krylov_m
 
-__all__ = ["ss2_step", "sewi_step", "gautschi_step", "sewi_first_step"]
+__all__ = ["ss2_step", "sewi_step", "gautschi_step", "sewi_first_step",
+           "gautschi_phi1_bootstrap"]
 
 
 def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
@@ -86,13 +87,48 @@ def sewi_first_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
 
 
 def gautschi_step(u, u_prev, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
-                  axis_names=()):
-    """Host comparison 'Gautschi' NLSE step; returns (u_new, u)."""
+                  axis_names=(), convention="cubic"):
+    """Host comparison 'Gautschi' NLSE step; returns (u_new, u).
+
+    The reference ships two sign conventions of this two-step scheme:
+      convention="cubic" (nlse_cubic_gautschi_solver.hpp:17-40):
+        u' = exp(-2 tau L) u_prev + 2 tau exp(-tau L) sinc(dt L) B(u)
+      convention="plus"  (nlse_cubic_quintic_gautschi_solver.hpp:16-41 and
+        nlse_saturating_gautschi_solver.hpp:11-44 — the V2 form the cubic
+        header keeps commented out):
+        u' = exp(+2 tau L) u_prev - 2 tau exp(+tau L) sinc(dt L) B(u)
+    Both are flagged by the reference author as comparison-only.
+    """
     tau = np.asarray(1j * dt, u.dtype)   # numpy scalar: safe jit constant
+    sgn = -1.0 if convention == "cubic" else 1.0
     psi = matfunc_apply(lap, _B(u, rho_fn), dt, "sinc", m=m, reorth=reorth,
                         axis_names=axis_names)
-    e1 = expm_apply(lap, psi, -tau, m=m, reorth=reorth,
+    e1 = expm_apply(lap, psi, sgn * tau, m=m, reorth=reorth,
                     axis_names=axis_names)
-    e2 = expm_apply(lap, u_prev, -2.0 * tau, m=m, reorth=reorth,
+    e2 = expm_apply(lap, u_prev, sgn * 2.0 * tau, m=m, reorth=reorth,
                     axis_names=axis_names)
-    return e2 + 2.0 * tau * e1, u
+    return e2 - sgn * 2.0 * tau * e1, u
+
+
+def gautschi_phi1_bootstrap(u, lap, rho_fn, dt, bc_fn=None, pre_steps=10,
+                            m=default_krylov_m, reorth=True, axis_names=()):
+    """First-order Gautschi bootstrap: `pre_steps` substeps of
+    u <- exp(tau_s L) u - tau_s^2 phi1(tau_s^2 L) B(u),  tau_s = i dt/pre_steps.
+
+    Replicates the quintic/saturating Gautschi drivers' init loop
+    (nlse_cubic_quintic_gautschi_driver.cpp:103-131): their
+    phi1m_multiply(solver, tau_s*L, B, tau_s) evaluates
+    (tau_s L)^{-1} (exp(tau_s * (tau_s L)) - 1) B = tau_s phi1(tau_s^2 L) B
+    via a Krylov expm plus a SparseLU solve; in the tau_s^2 |lambda| << 1
+    regime both ways equal the phi1 matrix function to roundoff, so here it
+    is ONE Krylov projection (no sparse factorization on TPU).
+    """
+    taus = np.asarray(1j * dt / pre_steps, u.dtype)
+    for _ in range(pre_steps):
+        filt = matfunc_apply(lap, _B(u, rho_fn), taus * taus, "phi1", m=m,
+                             reorth=reorth, axis_names=axis_names)
+        u = expm_apply(lap, u, taus, m=m, reorth=reorth,
+                       axis_names=axis_names) - taus * taus * filt
+        if bc_fn is not None:
+            u = bc_fn(u)
+    return u

@@ -68,9 +68,20 @@ def _mod_cosine(theta):
     return jnp.where(jnp.abs(theta) < 1e-12, 1.0, val)
 
 
+def _phi1(x):
+    """phi_1(x) = (exp(x) - 1)/x, -> 1 at 0 (guard mirrors _sinc's).
+
+    Used by the Gautschi-NLSE drivers' first-order bootstrap
+    (nlse_cubic_gautschi_solver.hpp phi1m_multiply: expm then a SparseLU
+    solve of tau*L — here a single matrix function, same object)."""
+    safe = jnp.where(jnp.abs(x) < 1e-8, 1.0, x)
+    return jnp.where(jnp.abs(x) < 1e-8, 1.0, (jnp.exp(safe) - 1.0) / safe)
+
+
 MATFUNCS = {
     "exp": lambda t, lam: jnp.exp(t * lam),
     "sinc": lambda t, lam: _sinc(t * lam),
+    "phi1": lambda t, lam: _phi1(t * lam),
     "cos_sqrt": lambda t, lam: jnp.cos(t * jnp.sqrt(jnp.abs(lam))),
     "sinc2_sqrt": lambda t, lam: _sinc(t * jnp.sqrt(jnp.abs(lam))) ** 2,
     "id_sqrt": lambda t, lam: t * jnp.sqrt(jnp.abs(lam)),

@@ -645,7 +645,9 @@ def _pipe_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     grid = (ny // tile,)
     blk = (P, tile, nx)
     wblk = (1, tile, nx)
-    nop = {"iso2d": 0, "aniso2d": 3}[mode]
+    # The last iteration skips the stencil entirely, so don't stream the
+    # aniso weight columns (wx, wy, wy halo) for it.
+    nop = 0 if last else {"iso2d": 0, "aniso2d": 3}[mode]
     nh = 0 if last else 1
 
     def kernel(scal, av_ref, *rest):
@@ -747,7 +749,7 @@ def _pipe_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
         in_specs.append(pl.BlockSpec(((j + 2) * P, 1, 2, nx),
                                      lambda i: (0, i, 0, 0),
                                      memory_space=pltpu.VMEM))
-    if mode == "aniso2d":
+    if mode == "aniso2d" and not last:
         wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
         in_specs += [wspec, wspec,
                      pl.BlockSpec((1, 1, 1, nx), lambda i: (0, i, 0, 0),
@@ -883,14 +885,23 @@ def _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode, op_args,
         c = q if j == 0 else q.at[j - 1, 0].add(bs)
         scal = jnp.concatenate([jnp.stack([sj, zero])[None], c], axis=0)
         lastk = j == m - 2
-        tile = _pick_tile(ny, nx, j + 5 + 3 * (mode == "aniso2d"),
-                          nplanes=P)
+        if lastk:
+            # final iteration streams no halo stack and no weight columns
+            tile = _pick_tile(ny, nx, j + 4, nplanes=P)
+        else:
+            # fold the stacked-halo input ((j+2)*P, ., 2, nx) into the
+            # stream count: it is worth ceil(2*(j+2)/tile) block-equivalents
+            # of VMEM, which matters at high m with small tiles
+            n_str = j + 5 + 3 * (mode == "aniso2d")
+            tile = _pick_tile(ny, nx, n_str, nplanes=P)
+            halo_eq = -(-2 * (j + 2) // max(tile, 8))
+            tile = _pick_tile(ny, nx, n_str + halo_eq, nplanes=P)
         args = [scal, av]
         if not lastk:
             halos = jnp.stack(
                 [_gather_halo_rows(a, tile, ny) for a in [av] + W])
             args.append(halos.reshape((j + 2) * P, ny // tile, 2, nx))
-        args.extend(extra_ops(tile))
+            args.extend(extra_ops(tile))
         args.extend(W)
         res = _pipe_call(j, P, ny, nx, tile, scale, sign, variant,
                          interpret, mode=mode, last=lastk)(*args)
@@ -1052,8 +1063,10 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         return jnp.where(nrm > 0, 1.0 / jnp.where(nrm > 0, nrm, 1), 0.0)
 
     from nlsolvers_tpu import config as _cfg
+    # _lanczos_pipe performs no psum reductions (nsq/gram/d are shard-local),
+    # so sharded callers (axis_names set) must take the gsum'd two-pass loop.
     if (_cfg.pallas_pipeline and not fused_iter and m > 1
-            and mode in ("iso2d", "aniso2d")):
+            and not axis_names and mode in ("iso2d", "aniso2d")):
         def extra_ops(tile):
             if mode == "aniso2d":
                 return (wx, wy, halo_rows(wy, tile, per_block=1))

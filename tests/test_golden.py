@@ -156,6 +156,143 @@ def test_golden_nlse_saturating_host_quirk():
     _check(traj, d)
 
 
+def test_golden_nlse_cubic_2d_long_horizon():
+    """nt=1200 drift sentinel: slow error from a wrong BC-vs-step ordering
+    or matfunc convention shows up at nt~10^3, not the 96-step cases."""
+    d = _load("nlse_cubic_2d_long")
+    nt, snaps = int(d["nt"]), int(d["num_snapshots"])
+    dt = float(d["T"]) / nt
+    prob = nlse_problem("cubic", d["u0"].shape, float(d["Lx"]), dt,
+                        m_field=d["m"], krylov_m=int(d["krylov_m"]),
+                        dtype=jnp.complex128)
+    traj = run(prob, prob.init(d["u0"]), snaps, nt // snaps)
+    # 12.5x the steps of the short case: roundoff accumulates ~sqrt(nt),
+    # keep the f64 gate an order looser than the 96-step 1e-7
+    _check(traj, d, tol_last=1e-6)
+
+
+# ------------------------------------------- Gautschi NLSE comparison family
+
+def _gautschi_problem(d, kind):
+    """Replay of the Gautschi NLSE drivers: bootstrap (SS2 for cubic,
+    nlse_cubic_gautschi_driver.cpp:138-141; 10 phi1m substeps for quintic/
+    saturating, nlse_cubic_quintic_gautschi_driver.cpp:103-131) at driver
+    iteration 1, then the per-variant two-step scheme for i >= 2."""
+    from jax import lax
+    from nlsolvers_tpu.models import nlse as nlse_mod
+
+    shape = d["u0"].shape
+    nx = shape[-1]
+    dx = 2.0 * float(d["Lx"]) / (nx - 1)
+    dt = float(d["T"]) / int(d["nt"])
+    km = int(d["krylov_m"])
+    lap = ops.laplacian_2d(shape, dx, dx, dtype=jnp.float64)
+    m = jnp.asarray(d["m"], jnp.float64)
+
+    if kind == "cubic":
+        rho = lambda u: m * (u.real**2 + u.imag**2)
+        convention = "cubic"
+    elif kind == "quintic":
+        s1, s2 = float(d["sigma1"]), float(d["sigma2"])
+
+        def rho(u):
+            a = u.real**2 + u.imag**2
+            return m * (s1 * a + s2 * a * a)
+        convention = "plus"
+    else:  # saturating: the Gautschi solver uses the correct |u|^2 form
+        kappa = float(d["kappa"])
+
+        def rho(u):
+            a = u.real**2 + u.imag**2
+            return m * a / (1.0 + kappa * a)
+        convention = "plus"
+
+    bcf = bc.neumann_no_velocity_2d
+
+    def bootstrap(state):
+        u, u_prev = state
+        if kind == "cubic":
+            un = bcf(nlse_mod.ss2_step(u, lap, rho, dt, m=km))
+        else:
+            un = nlse_mod.gautschi_phi1_bootstrap(u, lap, rho, dt, bc_fn=bcf,
+                                                  pre_steps=10, m=km)
+        return un, u_prev                      # u_prev stays u0
+
+    def gautschi(state):
+        u, u_prev = state
+        un, up = nlse_mod.gautschi_step(u, u_prev, lap, rho, dt, m=km,
+                                        convention=convention)
+        return bcf(un), up
+
+    def step(state, i):
+        return lax.cond(i == 1, bootstrap, gautschi, state)
+
+    def init(u0):
+        u = jnp.asarray(u0, jnp.complex128)
+        return (u, u)
+
+    return Problem(step, init, lambda s: s[0], {})
+
+
+@pytest.mark.parametrize("case,kind", [
+    ("nlse_cubic_gautschi_2d", "cubic"),
+    ("nlse_cubic_quintic_gautschi_2d", "quintic"),
+    ("nlse_saturating_gautschi_2d", "saturating"),
+])
+def test_golden_nlse_gautschi(case, kind):
+    d = _load(case)
+    prob = _gautschi_problem(d, kind)
+    nt, snaps = int(d["nt"]), int(d["num_snapshots"])
+    traj = run(prob, prob.init(d["u0"]), snaps, nt // snaps)
+    _check(traj, d)
+
+
+# ---------------------------------------------------------------- Boussinesq
+
+@pytest.mark.parametrize("mode", ["gautschi", "stiff"])
+def test_golden_boussinesq(mode):
+    """vs golden/src/bouss_driver.cpp wrapping /root/reference/
+    bouss_solver.hpp:3-81 (no BC, u_past = u0 - dt*v0, v=(u-u_past)/dt)."""
+    from nlsolvers_tpu.models import boussinesq as bq
+
+    d = _load(f"bouss_{mode}_2d")
+    nt, snaps = int(d["nt"]), int(d["num_snapshots"])
+    dt = float(d["T"]) / nt
+    shape = d["u0"].shape
+    dx = 2.0 * float(d["Lx"]) / (shape[-1] - 1)
+    km = int(d["krylov_m"])
+    omega2 = bq.boussinesq_omega2(shape, dx, dtype=jnp.float64)
+
+    if mode == "gautschi":
+        def step(state, i):
+            del i
+            u, up = state
+            return bq.gautschi_step(u, up, omega2, dx, dt, m=km)
+    else:
+        L_apply = lambda u: -omega2(u)          # lap + d4/dx4
+
+        def step(state, i):
+            del i
+            u, up = state
+            return bq.stiff_sv_step(u, up, L_apply, dx, dt)
+
+    u0 = jnp.asarray(d["u0"], jnp.float64)
+    v0 = jnp.asarray(d["v0"], jnp.float64)
+    state0 = (u0, u0 - dt * v0)
+    prob = Problem(step, lambda s: s, lambda s: s, {})
+    u_traj = run(prob, state0, snaps, nt // snaps)
+    # observe returns (u, u_past); rebuild the driver's outputs
+    u_stack, up_stack = u_traj
+    mine_u = np.array(u_stack)
+    mine_v = (np.array(u_stack) - np.array(up_stack)) / dt
+    mine_u[0] = np.asarray(u0)
+    mine_v[0] = np.asarray(v0)
+    _check(mine_u, d, "traj")
+    # velocity = (u - u_past)/dt amplifies roundoff by 1/dt = 1000x here
+    # (dt = 1e-3, vs 1e-2 in the other wave cases)
+    _check(mine_v, d, "vel", tol_traj=2e-4, tol_last=1e-4)
+
+
 # ---------------------------------------------------------------- real waves
 
 WAVE_CASES = [

@@ -37,8 +37,20 @@ def _complex_field(n, seed=0):
     return re + 1j * im
 
 
+@pytest.fixture(params=[True, False], ids=["pipe", "twopass"])
+def pipeline_mode(request):
+    """Run a parity test under both the pipelined single-pass Lanczos
+    (config.pallas_pipeline=True, the production default) and the two-pass
+    kernels (_pass1_call j>0 + _pass2_call), so both stay pinned against
+    the pure-XLA path in the default suite."""
+    old = config.pallas_pipeline
+    config.pallas_pipeline = request.param
+    yield request.param
+    config.pallas_pipeline = old
+
+
 @pytest.mark.parametrize("variant", ["reference", "clean"])
-def test_expm_complex_matches_xla(variant):
+def test_expm_complex_matches_xla(variant, pipeline_mode):
     n, m = 128, 8
     lap, dx = _lap(n, variant)
     u = jnp.asarray(_complex_field(n), jnp.complex64)
@@ -231,8 +243,15 @@ def test_fused_iter_kernel_matches(monkeypatch):
     monkeypatch.setattr(lanczos2d, "_FUSED_ITER", False)
     ref = lanczos2d.matfunc_apply_planar(planar, lap._pallas_desc, t, "exp",
                                          m, interpret=True)
+    # Both paths are float32 with different reduction/FMA orders (the fused
+    # kernel accumulates norms+projections inside one grid sweep; the
+    # two-pass/pipelined path splits them), so exact agreement is not
+    # expected: worst observed deviation is ~10 f32 ulps of the O(1) field
+    # (1.2e-6 abs on 1/32768 elements). Tolerance set 10x tighter than the
+    # Pallas-vs-XLA parity tests above (2e-4/2e-5) since the two kernels
+    # share the stencil and scalar recurrences.
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.parametrize("variant", ["reference", "clean"])
