@@ -1,9 +1,11 @@
 """Trajectory animation and snapshot montages.
 
 Ports of the reference viz scripts (scripts/animate_hdf.py:19-83 2D imshow
-FuncAnimation; scripts/animate_3d.py marching-cubes isosurfaces). skimage is
-not in this environment, so the 3D path renders orthogonal mid-plane slices
-instead of isosurfaces — same diagnostic purpose, numpy+matplotlib only.
+FuncAnimation; /root/reference/animate_3d.py marching-cubes isosurfaces).
+skimage is not in this environment, so the isosurface path uses the
+dependency-free marching-tetrahedra extractor (analysis/isosurface.py);
+`animate_3d_slices` additionally renders orthogonal mid-plane slices as the
+cheaper quick-look.
 
 matplotlib is imported lazily with the Agg backend so headless batch use
 (and importing this module on a worker) never needs a display.
@@ -11,7 +13,8 @@ matplotlib is imported lazily with the Agg backend so headless batch use
 
 import numpy as np
 
-__all__ = ["animate_2d", "animate_3d_slices", "snapshot_grid"]
+__all__ = ["animate_2d", "animate_3d_slices", "animate_3d_isosurface",
+           "snapshot_grid"]
 
 
 def _plt():
@@ -83,6 +86,58 @@ def animate_3d_slices(traj, out_path, cmap="viridis", fps=10, title=""):
         return ims
 
     ani = animation.FuncAnimation(fig, update, frames=S, blit=False)
+    writer = ("ffmpeg" if str(out_path).endswith(".mp4") else "pillow")
+    ani.save(out_path, writer=writer, fps=fps)
+    plt.close(fig)
+    return out_path
+
+
+def animate_3d_isosurface(traj, out_path, level=None, spacing=None,
+                          origin=None, fps=10, title="", color="#3b7bbf",
+                          elev=20.0, azim=-60.0):
+    """Animate a (S, nz, ny, nx) stack as a rotating isosurface mesh.
+
+    Parity target: /root/reference/animate_3d.py (skimage marching cubes +
+    Poly3DCollection); here the mesh comes from the dependency-free
+    marching-tetrahedra extractor (analysis/isosurface.py). `level`
+    defaults to the reference script's 0.3 * max|u| threshold
+    (animate_3d.py:26); complex input is rendered as |u|.
+    """
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    from nlsolvers_tpu.analysis.isosurface import marching_tetrahedra
+
+    plt = _plt()
+    from matplotlib import animation
+
+    data = _frame_data(traj)
+    S, nz, ny, nx = data.shape
+    if level is None:
+        level = 0.3 * float(np.nanmax(data))
+    spacing = spacing or (1.0, 1.0, 1.0)
+    origin = origin or (0.0, 0.0, 0.0)
+    lims = [(origin[d], origin[d] + spacing[d] * (data.shape[1 + d] - 1))
+            for d in range(3)]
+
+    fig = plt.figure(figsize=(7, 6))
+    ax = fig.add_subplot(projection="3d")
+    ax.view_init(elev=elev, azim=azim)
+
+    def draw(i):
+        ax.clear()
+        verts, tris = marching_tetrahedra(data[i], level, spacing, origin)
+        if len(tris):
+            # verts are [z, y, x]; plot as (x, y, z)
+            mesh = Poly3DCollection(verts[tris][:, :, ::-1], alpha=0.6,
+                                    facecolor=color, edgecolor="none")
+            ax.add_collection3d(mesh)
+        ax.set_xlim(lims[2])
+        ax.set_ylim(lims[1])
+        ax.set_zlim(lims[0])
+        ax.set_title(f"{title} |u|={level:.3g} t={i}/{S - 1}")
+        return []
+
+    ani = animation.FuncAnimation(fig, draw, frames=S, blit=False)
     writer = ("ffmpeg" if str(out_path).endswith(".mp4") else "pillow")
     ani.save(out_path, writer=writer, fps=fps)
     plt.close(fig)

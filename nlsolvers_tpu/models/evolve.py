@@ -54,7 +54,8 @@ def evolve(step_fn, state0, num_snapshots, snapshot_freq, observe=None):
 
 
 def evolve_guarded(step_fn, state0, num_snapshots, snapshot_freq,
-                   observe=None, batched=False, scalars=None):
+                   observe=None, batched=False, scalars=None,
+                   finite_reduce=None):
     """evolve() with an in-loop stability guard + optional on-generation
     scalar series — the TPU equivalent of the reference's gen-2 on-device
     NaN-check and energy kernels (device/sg_solver_dev.hpp:7-90).
@@ -73,6 +74,11 @@ def evolve_guarded(step_fn, state0, num_snapshots, snapshot_freq,
       scalars: optional {name: fn(state) -> scalar-per-lane} recorded at
         every snapshot (entry 0 = the IC), e.g. mass/energy during
         generation.
+      finite_reduce: optional reducer applied to the per-lane finiteness
+        bits before they drive the early exit. Under shard_map this MUST
+        all-reduce across the spatial mesh (psum the bad bits) — a
+        shard-local verdict would give shards different while_loop trip
+        counts and deadlock the halo collectives inside the step.
 
     Returns:
       (snaps, bad_at, series): snaps as in evolve() — snapshots past the
@@ -97,6 +103,8 @@ def evolve_guarded(step_fn, state0, num_snapshots, snapshot_freq,
         ok = red(leaves[0])
         for leaf in leaves[1:]:
             ok = ok & red(leaf)
+        if finite_reduce is not None:
+            ok = finite_reduce(ok)
         return ok                       # (B,) bool, or scalar bool
 
     snap0 = observe(state0)

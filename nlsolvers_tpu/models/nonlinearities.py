@@ -23,7 +23,8 @@ Parity notes (each vs the reference's production form):
 
 import jax.numpy as jnp
 
-__all__ = ["nlse_density", "realwave_g", "NLSE_KINDS", "REALWAVE_KINDS"]
+__all__ = ["nlse_density", "realwave_g", "realwave_potential",
+           "NLSE_KINDS", "REALWAVE_KINDS"]
 
 NLSE_KINDS = ("cubic", "cubic_quintic", "saturable")
 REALWAVE_KINDS = ("sine_gordon", "double_sine_gordon", "hyperbolic_sine_gordon",
@@ -64,4 +65,20 @@ def realwave_g(kind):
         "hyperbolic_sine_gordon": jnp.sinh,
         "klein_gordon": lambda u: u**3,
         "phi4": lambda u: u - u**3,
+    }[kind]
+
+
+def realwave_potential(kind):
+    """Potential energy density V(u) for the on-generation energy series,
+    matching analysis/energy.energy_terms (the reference's vocabulary,
+    process_h5/ensemble_processing.py:48-89, incl. its phi4/KG quirks) plus
+    the integral of g for the kinds the analysis tables leave out."""
+    return {
+        "sine_gordon": lambda u: 1.0 - jnp.cos(u),
+        "double_sine_gordon": lambda u: (1.0 - jnp.cos(u)
+                                         + 0.3 * (1.0 - jnp.cos(2.0 * u))),
+        "hyperbolic_sine_gordon": lambda u: jnp.cosh(u) - 1.0,
+        "klein_gordon": lambda u: 0.5 * u ** 4,
+        "phi4": lambda u: u ** 2 - u ** 4,
+        "stochastic_phi4": lambda u: u ** 2 - u ** 4,
     }[kind]

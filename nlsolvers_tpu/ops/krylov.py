@@ -286,13 +286,21 @@ def _fused_pallas_path(matvec, u, specs, m, reorth, axis_names):
     desc = getattr(matvec, "_pallas_desc", None)
     if desc is None or not reorth or u.ndim not in (2, 3):
         return None
+    kind = desc.get("kind")
     if axis_names:
-        # sharded grids: only the shard2d descriptors know how to ppermute
+        # sharded grids: only the shard* descriptors know how to ppermute
         # halos and psum the kernel reductions (ops/pallas/lanczos2d.py)
-        if (desc.get("kind") not in ("shard2d", "shard2d_aniso")
-                or tuple(axis_names) != (desc["ay"], desc["ax"])):
+        if kind in ("shard2d", "shard2d_aniso"):
+            if tuple(axis_names) != (desc["ay"], desc["ax"]):
+                return None
+        elif kind in ("shard3d", "shard3d_aniso"):
+            if tuple(axis_names) != (desc["az"], desc["ay"], desc["ax"]):
+                return None
+            # kernels need the static local dims for the merged-row view
+            desc = dict(desc, lnz=u.shape[0], lny=u.shape[1])
+        else:
             return None
-    elif desc.get("kind") in ("shard2d", "shard2d_aniso"):
+    elif kind in ("shard2d", "shard2d_aniso", "shard3d", "shard3d_aniso"):
         return None
     use, interpret = pallas_dispatch()
     if not use:

@@ -103,6 +103,24 @@ def supported_desc(desc, u_shape, dtype):
         lny, lnx = u_shape[-2:]
         return (lnx % 128 == 0 and lny % 8 == 0
                 and _pick_tile(lny, lnx, 30) >= 8)
+    elif kind in ("shard3d", "shard3d_aniso"):
+        if desc.get("variant") not in ("reference", "clean"):
+            return False
+        if kind == "shard3d_aniso" and desc.get("c") is None:
+            return False
+        if dtype not in (jnp.complex64, jnp.float32):
+            return False
+        if len(u_shape) != 3:
+            return False
+        lnz, lny, lnx = u_shape
+        if desc["variant"] == "reference" and (lnz != desc["NZ"]
+                                               or lny != desc["NY"]):
+            # the merged y-seam coupling is only shard-local with unsplit
+            # z/y axes (same rule as parallel/spatial.sharded_laplacian_3d)
+            return False
+        # worst case: shard3d_aniso streams 14 ops + j columns
+        return (lnx % 128 == 0 and lny % 8 == 0
+                and _pick_tile(lny, lnx, 34) >= 8)
     elif kind in ("laplacian_3d", "aniso_laplacian_3d"):
         if kind == "laplacian_3d":
             if desc.get("variant") not in ("reference", "clean"):
@@ -345,6 +363,61 @@ def _stencil_shard2d_aniso(u, up_row, dn_row, hc, wx, wy, wyh_row, wxl,
     return (fx - fx_l + fy - fy_m1) * (scale * sign)
 
 
+def _stencil_shard3d(u, up_row, dn_row, hc, diag, zup, zdn, zht, zhb,
+                     blk_i, K, nblk, scale, sign):
+    """7-point Laplacian on a SHARDED 3D grid, merged (lnz*lny, lnx) view.
+
+    All boundary/seam structure lives in jnp-side data: `diag` is the
+    per-cell variant diagonal from global coordinates, halo rows/cols are
+    ppermute'd (zeros at true domain edges — the halo IS the no-flux BC,
+    parallel/spatial.sharded_laplacian_3d), and the y-halo rows were
+    spliced into the gathered rows at plane-boundary blocks. The z-neighbor
+    is row +-lny, streamed as whole blocks at tile offset +-K; blocks in the
+    first/last local z-plane select the az-halo streams instead. No
+    in-kernel masks. Parity target: laplacians.hpp:105-156.
+    """
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
+    left = jnp.concatenate([hc[:, :, 0:1], u[:, :, :-1]], axis=2)
+    right = jnp.concatenate([u[:, :, 1:], hc[:, :, 1:2]], axis=2)
+    z_above = jnp.where(blk_i < K, zht[...], zup[...])
+    z_below = jnp.where(blk_i >= nblk - K, zhb[...], zdn[...])
+    nb = above + below + left + right + z_above + z_below
+    return (nb + diag * u) * (scale * sign)
+
+
+def _stencil_shard3d_aniso(u, up_row, dn_row, hc, wx, wy, wyh_row, wxl,
+                           wz, wz_up, zup, zdn, zht, zhb, wzh_row,
+                           blk_i, K, nblk, scale, sign):
+    """Finite-volume div(c grad u) on a SHARDED 3D grid, merged row view.
+
+    Face weights arrive padded from the jnp side (cross-shard faces from
+    ppermute'd c edges, zeros at true domain faces — see
+    parallel/spatial.sharded_anisotropic_laplacian_3d): `wx`/`wy`/`wz` are
+    this block's +x/+y/+z face weights, `wxl` the -x face weight column,
+    `wyh_row` the -y face weight halo row (spliced at plane boundaries),
+    `wz_up` the -z face weights (wz at tile offset -K), `wzh_row` its
+    az-halo for the first local plane. `zup`/`zdn`/`zht`/`zhb` carry the u
+    z-neighbors as in _stencil_shard3d. Parity: laplacians.hpp:158-218.
+    """
+    lcol, rcol = hc[:, :, 0:1], hc[:, :, 1:2]
+    u_r = jnp.concatenate([u[:, :, 1:], rcol], axis=2)
+    fx = wx * (u_r - u)                       # last col = cross-shard flux
+    fxl_edge = wxl * (u[:, :, :1] - lcol)
+    fx_l = jnp.concatenate([fxl_edge, fx[:, :, :-1]], axis=2)
+    below = jnp.concatenate([u[:, 1:, :], dn_row], axis=1)
+    fy = wy * (below - u)
+    above = jnp.concatenate([up_row, u[:, :-1, :]], axis=1)
+    wy_up = jnp.concatenate([wyh_row, wy[:, :-1, :]], axis=1)
+    fy_m1 = wy_up * (u - above)
+    z_above = jnp.where(blk_i < K, zht[...], zup[...])
+    z_below = jnp.where(blk_i >= nblk - K, zhb[...], zdn[...])
+    wzu = jnp.where(blk_i < K, wzh_row[...], wz_up[...])
+    fz = wz * (z_below - u)
+    fz_m = wzu * (u - z_above)
+    return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+
+
 def _dots(P, Wi, w):
     """(Hermitian) inner product partials of a planar block pair: returns
     (re, im) scalars; im == 0.0 for real fields (P == 1)."""
@@ -370,8 +443,9 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     wblk = (1, tile, nx)
     last = grid[0] - 1
     nop = {"iso2d": 2, "aniso2d": 5, "iso3d": 4, "aniso3d": 9,
-           "shard2d": 4, "shard2d_aniso": 7}[mode]
-    if mode in ("iso3d", "aniso3d"):
+           "shard2d": 4, "shard2d_aniso": 7, "shard3d": 8,
+           "shard3d_aniso": 14}[mode]
+    if mode in ("iso3d", "aniso3d", "shard3d", "shard3d_aniso"):
         K = geom[1] // tile     # z-neighbor block offset (tile divides ny)
 
     def kernel(scal, *rest):
@@ -403,6 +477,16 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
                                         ops_[3][...], ops_[4][...],
                                         ops_[5][:, 0, :, :], ops_[6][...],
                                         scale, sign)
+        elif mode == "shard3d":
+            av = _stencil_shard3d(u, up_row, dn_row, ops_[2][...],
+                                  ops_[3][...], ops_[4], ops_[5], ops_[6],
+                                  ops_[7], i, K, grid[0], scale, sign)
+        elif mode == "shard3d_aniso":
+            av = _stencil_shard3d_aniso(
+                u, up_row, dn_row, ops_[2][...], ops_[3][...], ops_[4][...],
+                ops_[5][:, 0, :, :], ops_[6][...], ops_[7][...], ops_[8],
+                ops_[9], ops_[10], ops_[11], ops_[12], ops_[13], i, K,
+                grid[0], scale, sign)
         else:
             av = _stencil(u, up_row, dn_row, i * tile, tile, ny, nx, scale,
                           sign, variant)
@@ -460,6 +544,31 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
                                   memory_space=pltpu.VMEM),
                      pl.BlockSpec((1, tile, 1), center,    # wx left col
                                   memory_space=pltpu.VMEM)]
+    elif mode in ("shard3d", "shard3d_aniso"):
+        nblk = grid[0]
+        zup = lambda i: (0, jnp.maximum(i - K, 0), 0)
+        zdn = lambda i: (0, jnp.minimum(i + K, last), 0)
+        # az-halo streams: (., lny, nx) arrays = K blocks; only blocks in
+        # the first/last local z-plane read them, the clamped maps keep the
+        # fetch resident for the rest of the sweep
+        zht = lambda i: (0, jnp.minimum(i, K - 1), 0)
+        zhb = lambda i: (0, jnp.maximum(i - (nblk - K), 0), 0)
+        colspec = pl.BlockSpec((P, tile, 2), center, memory_space=pltpu.VMEM)
+        if mode == "shard3d":
+            op_specs += [colspec, wspec(center),          # hc, diag
+                         blkspec(zup), blkspec(zdn),      # u z-neighbors
+                         blkspec(zht), blkspec(zhb)]      # az u halos
+        else:
+            op_specs += [colspec,
+                         wspec(center), wspec(center),    # wx, wy
+                         pl.BlockSpec((1, 1, 1, nx), halo4,  # wy halo rows
+                                      memory_space=pltpu.VMEM),
+                         pl.BlockSpec((1, tile, 1), center,  # wx left col
+                                      memory_space=pltpu.VMEM),
+                         wspec(center), wspec(zup),       # wz, wz_up
+                         blkspec(zup), blkspec(zdn),      # u z-neighbors
+                         blkspec(zht), blkspec(zhb),      # az u halos
+                         wspec(zht)]                      # wz az halo
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
     ] + op_specs + [blkspec(center) for _ in range(j)]
@@ -1013,6 +1122,112 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
             wyh = _gather_halo_rows(wyp, tile, ny, per_block=1)
             wyh = wyh.at[:, 0, 0, :].set(wy_top[:, 0, :])
             return h, hc, wyh
+    elif kind in ("shard3d", "shard3d_aniso"):
+        az, ay, ax = desc["az"], desc["ay"], desc["ax"]
+        NZ, NY, NX = desc["NZ"], desc["NY"], desc["NX"]
+        lnz, lny = desc["lnz"], desc["lny"]       # local dims (static)
+        R = lnz * lny                              # = ny (merged rows)
+        geom = (lnz, lny)
+        # global coordinates of the local block, merged (R, nx) view
+        shp = (lnz, lny, nx)
+        gz = (lax.axis_index(az) * lnz
+              + lax.broadcasted_iota(jnp.int32, shp, 0)).reshape(R, nx)
+        gy = (lax.axis_index(ay) * lny
+              + lax.broadcasted_iota(jnp.int32, shp, 1)).reshape(R, nx)
+        gx = (lax.axis_index(ax) * nx
+              + lax.broadcasted_iota(jnp.int32, shp, 2)).reshape(R, nx)
+        merged = lax.broadcasted_iota(jnp.int32, (R, nx), 0)
+        # y-seam handling: variant="clean" splices ay-halo rows at every
+        # plane boundary; variant="reference" keeps the merged cross-plane
+        # coupling (laplacians.hpp:140's flat-index loop) and is only legal
+        # with unsplit z/y axes (enforced in supported_desc), where the ay
+        # ppermute over a singleton axis yields the required edge zeros.
+        plane_splice = variant != "reference"
+
+        def shard_halo(wj, tile):
+            """u halos: merged gathered rows with ay-halo splices at plane
+            boundaries, ax columns, and az plane slabs."""
+            nblk = R // tile
+            Kb = lny // tile
+            h = _gather_halo_rows(wj, tile, R)
+            w3 = wj.reshape(P, lnz, lny, nx)
+            ytop = _recv_from_prev(w3[:, :, -1, :], ay)    # (P, lnz, nx)
+            ybot = _recv_from_next(w3[:, :, 0, :], ay)
+            zs = np.arange(lnz)
+            if plane_splice:
+                h = h.at[:, zs * Kb, 0, :].set(ytop)
+                h = h.at[:, (zs + 1) * Kb - 1, 1, :].set(ybot)
+            else:
+                h = h.at[:, 0, 0, :].set(ytop[:, 0, :])
+                h = h.at[:, nblk - 1, 1, :].set(ybot[:, -1, :])
+            lcol = _recv_from_prev(wj[:, :, -1:], ax)
+            rcol = _recv_from_next(wj[:, :, :1], ax)
+            hc = jnp.concatenate([lcol, rcol], axis=2)      # (P, R, 2)
+            zht = _recv_from_prev(w3[:, -1, :, :], az)      # (P, lny, nx)
+            zhb = _recv_from_next(w3[:, 0, :, :], az)
+            return h, hc, zht, zhb
+
+        if kind == "shard3d":
+            mode, n_op = "shard3d", 8
+            if variant == "reference":
+                bnd = ((gz == 0) | (gz == NZ - 1) | (gy == 0)
+                       | (gy == NY - 1) | (gx == 0) | (gx == NX - 1))
+                diag = jnp.where(bnd, -5.0, -6.0).astype(jnp.float32)
+            else:
+                nnb = (6.0 - (gz == 0) - (gz == NZ - 1) - (gy == 0)
+                       - (gy == NY - 1) - (gx == 0) - (gx == NX - 1))
+                diag = (-nnb).astype(jnp.float32)
+            diag = diag[None]                              # (1, R, nx)
+        else:
+            mode, n_op = "shard3d_aniso", 14
+            c = jnp.asarray(desc["c"], jnp.float32)        # (lnz, lny, lnx)
+            cm = c.reshape(R, nx)
+            # +x faces (last col cross-shard, zero past the domain)
+            c_rcol = _recv_from_next(cm[:, :1], ax)
+            c_r = jnp.concatenate([cm[:, 1:], c_rcol], axis=1)
+            wxp = jnp.where(gx == NX - 1, 0.0, 0.5 * (cm + c_r))[None]
+            c_lcol = _recv_from_prev(cm[:, -1:], ax)
+            wxl = jnp.where(gx[:, :1] == 0, 0.0,
+                            0.5 * (c_lcol + cm[:, :1]))[None]  # (1, R, 1)
+            # +y faces
+            if plane_splice:
+                c_brow = _recv_from_next(c[:, 0, :], ay)   # (lnz, nx)
+                c_b3 = jnp.concatenate([c[:, 1:, :], c_brow[:, None, :]],
+                                       axis=1)
+                wyp = jnp.where(gy == NY - 1, 0.0,
+                                0.5 * (cm + c_b3.reshape(R, nx)))[None]
+                c_trow = _recv_from_prev(c[:, -1, :], ay)  # (lnz, nx)
+                wy_top = jnp.where(gy.reshape(lnz, lny, nx)[:, 0, :] == 0,
+                                   0.0, 0.5 * (c_trow + c[:, 0, :]))
+                wy_top = wy_top[None]                      # (1, lnz, nx)
+            else:
+                # merged-seam faces (reference variant, unsplit z/y)
+                zrow = jnp.zeros((1, nx), cm.dtype)
+                c_b = jnp.concatenate([cm[1:, :], zrow], axis=0)
+                wyp = jnp.where(merged == R - 1, 0.0,
+                                0.5 * (cm + c_b))[None]
+                wy_top = jnp.zeros((1, 1, nx), jnp.float32)
+            # +z faces (local z lnz-1 cross-shard via az, zero past domain)
+            c_znext = _recv_from_next(c[0, :, :], az)      # (lny, nx)
+            c_z3 = jnp.concatenate([c[1:, :, :], c_znext[None]], axis=0)
+            wzp = jnp.where(gz == NZ - 1, 0.0,
+                            0.5 * (cm + c_z3.reshape(R, nx)))[None]
+            # -z face weights for the first local plane: face to az-prev
+            c_zprev = _recv_from_prev(c[-1, :, :], az)     # (lny, nx)
+            wzh = jnp.where(gz.reshape(lnz, lny, nx)[0] == 0, 0.0,
+                            0.5 * (c_zprev + c[0, :, :]))[None]  # (1,lny,nx)
+
+            def wy_halo(tile):
+                """-y face weight halo rows per tile block (1, nblk, 1, nx):
+                wyp gathered at row i*tile-1 with plane-boundary splices."""
+                wyh = _gather_halo_rows(wyp, tile, R, per_block=1)
+                Kb = lny // tile
+                zs = np.arange(lnz)
+                if plane_splice:
+                    wyh = wyh.at[:, zs * Kb, 0, :].set(wy_top)
+                else:
+                    wyh = wyh.at[:, 0, 0, :].set(wy_top[:, 0, :])
+                return wyh
     elif kind == "aniso_laplacian_2d":
         mode, n_op = "aniso2d", 3      # wx/wy blocks ~ one extra full stream
         wx = jnp.asarray(desc["wx"], jnp.float32).reshape(1, ny, nx)
@@ -1042,6 +1257,13 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         if mode == "shard2d_aniso":
             h, hc, wyh = shard_halo(wj, tile)
             return (wj, h, hc, wxp, wyp, wyh, wxl)
+        if mode == "shard3d":
+            h, hc, zht, zhb = shard_halo(wj, tile)
+            return (wj, h, hc, diag, wj, wj, zht, zhb)
+        if mode == "shard3d_aniso":
+            h, hc, zht, zhb = shard_halo(wj, tile)
+            return (wj, h, hc, wxp, wyp, wy_halo(tile), wxl, wzp, wzp,
+                    wj, wj, zht, zhb, wzh)
         h = halo_rows(wj, tile)
         if mode == "aniso2d":
             return (wj, h, wx, wy, halo_rows(wy, tile, per_block=1))
@@ -1052,7 +1274,9 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
                     halo_rows(wym, tile, per_block=1), wz, wz)
         return (wj, h)
 
-    fused_iter = (_FUSED_ITER and mode not in ("shard2d", "shard2d_aniso")
+    fused_iter = (_FUSED_ITER
+                  and mode not in ("shard2d", "shard2d_aniso", "shard3d",
+                                   "shard3d_aniso")
                   and P * ny * nx * 4 <= 32 * 2**20)
 
     # Inverse norms are safe against zero columns (zero start vector or

@@ -26,8 +26,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["initialize_from_env", "initialize", "global_mesh",
-           "make_global_batch", "local_shards", "process_seed",
-           "ENV_COORD", "ENV_NPROCS", "ENV_PID"]
+           "make_global_batch", "local_shards", "host_batch_block",
+           "process_seed", "ENV_COORD", "ENV_NPROCS", "ENV_PID"]
 
 ENV_COORD = "NLS_COORDINATOR"
 ENV_NPROCS = "NLS_NUM_PROCESSES"
@@ -120,6 +120,41 @@ def local_shards(arr, axis=0):
         out.append((start, np.asarray(s.data)))
     out.sort(key=lambda t: t[0])
     return out
+
+
+def host_batch_block(arr, nproc, pid):
+    """This host's host-major (b_local, ...) block of a global array whose
+    axis 0 (batch) is sharded host-major and whose REMAINING axes may also
+    be sharded over this host's local devices (grid sharding: the datagen
+    --shard-grid x multi-host path). Assembles the spatial fragments of
+    each batch row from the addressable shards' global indices — the
+    grid-sharded generalization of local_shards(). No collective, no
+    cross-host transfer.
+
+    Returns (block, rows): block (b_local, ...) numpy, rows the global batch
+    indices [pid*b_local, (pid+1)*b_local).
+    """
+    b_local = arr.shape[0] // max(nproc, 1)
+    start = pid * b_local
+    out = np.empty((b_local,) + tuple(arr.shape[1:]), arr.dtype)
+    covered = np.zeros(out.shape, bool)
+    for sh in arr.addressable_shards:
+        idx = tuple(sh.index)
+        bs = idx[0] if idx else slice(None)
+        b0 = bs.start or 0
+        b1 = arr.shape[0] if bs.stop is None else bs.stop
+        lo, hi = max(b0, start), min(b1, start + b_local)
+        if lo >= hi:
+            continue
+        data = np.asarray(sh.data)
+        dst = (slice(lo - start, hi - start),) + idx[1:]
+        out[dst] = data[lo - b0:hi - b0]
+        covered[dst] = True
+    if not covered.all():
+        raise RuntimeError(
+            f"host {pid}: addressable shards do not cover batch rows "
+            f"[{start}, {start + b_local}) — non-host-major mesh?")
+    return out, np.arange(start, start + b_local)
 
 
 def process_seed(seed, process_index=None):

@@ -206,6 +206,11 @@ def sharded_laplacian_3d(global_shape, dx, axis_names,
             raise ValueError(f"unknown variant {variant!r}")
         return (nb + diag * u) * scale
 
+    # descriptor for the fused Pallas Lanczos kernels (shard3d mode:
+    # merged-row stencil with ppermute'd halos, psum'd reductions)
+    apply._pallas_desc = dict(kind="shard3d", NZ=int(NZ), NY=int(NY),
+                              NX=int(NX), scale=float(scale), sign=1.0,
+                              variant=variant, az=az, ay=ay, ax=ax)
     return apply
 
 
@@ -527,13 +532,47 @@ def make_sharded_realwave_step(kind, global_shape, Lx, dt, mesh,
 # one global array.
 # ---------------------------------------------------------------------------
 
+def _guard_helpers(axis_names):
+    """Cross-shard guard plumbing: the finiteness verdict must be GLOBAL
+    (a shard-local verdict would give shards different while_loop trip
+    counts and deadlock the halo ppermutes inside the step) — the sharded
+    analogue of the reference's on-device NaN-check kernel
+    (device/sg_solver_dev.hpp:36-44)."""
+
+    def all_finite(ok):
+        bad = lax.psum((~ok).astype(jnp.int32), axis_names)
+        return bad == 0
+
+    return all_finite
+
+
+def sharded_gradient(u, dx, axis, axis_name, gc, N):
+    """np.gradient semantics (central diffs, first-order one-sided at the
+    GLOBAL edges) along one sharded axis, halos via ppermute. Used by the
+    sharded energy series so it matches the unsharded engine's
+    jnp.gradient-based energy bit-for-bit in the interior."""
+    n = u.shape[axis]
+    first = lax.slice_in_dim(u, 0, 1, axis=axis)
+    last = lax.slice_in_dim(u, n - 1, n, axis=axis)
+    nxt = jnp.concatenate([lax.slice_in_dim(u, 1, n, axis=axis),
+                           _recv_from_next(first, axis_name)], axis=axis)
+    prv = jnp.concatenate([_recv_from_prev(last, axis_name),
+                           lax.slice_in_dim(u, 0, n - 1, axis=axis)],
+                          axis=axis)
+    g = (nxt - prv) / (2.0 * dx)
+    g = jnp.where(gc == 0, (nxt - u) / dx, g)
+    g = jnp.where(gc == N - 1, (u - prv) / dx, g)
+    return g
+
+
 def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
                                     axis_names=("gy", "gx"),
                                     batch_axis=None, integrator="ss2",
                                     sigma1=1.0, sigma2=-0.1, kappa=1.0,
                                     krylov_m=10, dtype=jnp.complex64,
                                     variant="reference", apply_bc=True,
-                                    reorth=True, use_c=True):
+                                    reorth=True, use_c=True, guard=False,
+                                    record_energy=False):
     """Builds traj(u0_packed, m, c, num_snapshots, snapshot_freq) on a
     spatially sharded grid.
 
@@ -541,15 +580,25 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
     m, c:      (B, *global_shape) real coefficient fields.
     Returns    (B, S, 2, *global_shape) — same contract as
     pipeline/engine.make_nlse_trajectory_fn, so pipeline/datagen.py can use
-    either engine interchangeably. The batch axis is unsharded (replicated
-    blocks per device) unless `batch_axis` names a mesh axis.
+    either engine interchangeably (guard appends bad_at (B,) int32,
+    record_energy a {"mass": (B, S)} series — both all-reduced over the
+    spatial mesh axes). The batch axis is unsharded (replicated blocks per
+    device) unless `batch_axis` names a mesh axis.
     """
-    from nlsolvers_tpu.models.evolve import evolve
+    from nlsolvers_tpu.models.evolve import evolve, evolve_guarded
 
     nx = global_shape[-1]
     dx = 2.0 * Lx / (nx - 1)
     rdtype = real_dtype_of(dtype)
     two_state = integrator in ("sewi", "sewi_fused", "gautschi")
+    dV = dx ** len(global_shape)
+    spatial_axes = tuple(range(1, len(global_shape) + 1))
+    all_finite = _guard_helpers(axis_names)
+
+    def mass_of(state):
+        u = state[0] if two_state else state
+        local = jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV   # (B,)
+        return lax.psum(local, axis_names)
 
     if use_c:
         aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
@@ -608,14 +657,35 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
             state0 = (u0, u0) if two_state else u0
             observe = (lambda s: s[0]) if two_state else (lambda s: s)
             step = lambda st, i: vstep(st, i, mloc, cloc)
-            snaps = evolve(step, state0, num_snapshots, snapshot_freq,
-                           observe=observe)               # (S, B, *local)
-            snaps = jnp.moveaxis(snaps, 0, 1)             # (B, S, *local)
-            return jnp.stack([jnp.real(snaps), jnp.imag(snaps)], axis=2)
 
+            def pack(snaps):
+                snaps = jnp.moveaxis(snaps, 0, 1)          # (B, S, *local)
+                return jnp.stack([jnp.real(snaps), jnp.imag(snaps)],
+                                 axis=2)
+
+            if not guard:
+                snaps = evolve(step, state0, num_snapshots, snapshot_freq,
+                               observe=observe)            # (S, B, *local)
+                return pack(snaps)
+            scalars = {"mass": mass_of} if record_energy else None
+            snaps, bad_at, series = evolve_guarded(
+                step, state0, num_snapshots, snapshot_freq,
+                observe=observe, batched=True, scalars=scalars,
+                finite_reduce=all_finite)
+            series = {k: jnp.moveaxis(v, 0, 1) for k, v in series.items()}
+            return ((pack(snaps), bad_at)
+                    + ((series,) if record_energy else ()))
+
+        out_specs = out_spec
+        if guard:
+            # bad_at and the series are all-reduced over the spatial axes;
+            # only the batch axis (if meshed) stays sharded
+            out_specs = (out_spec, P(batch_axis))
+            if record_energy:
+                out_specs += ({"mass": P(batch_axis, None)},)
         return jax.shard_map(local, mesh=mesh,
                              in_specs=(u_spec, f_spec, f_spec),
-                             out_specs=out_spec, check_vma=False)(
+                             out_specs=out_specs, check_vma=False)(
             u0_packed, m, c)
 
     return traj
@@ -627,16 +697,20 @@ def make_sharded_realwave_trajectory_fn(kind, global_shape, Lx, dt, mesh,
                                         integrator="gautschi", krylov_m=10,
                                         dtype=jnp.float32,
                                         variant="reference", apply_bc=True,
-                                        reorth=True, use_c=True):
+                                        reorth=True, use_c=True,
+                                        guard=False, record_energy=False):
     """Builds traj(u0, v0, m, c, num_snapshots, snapshot_freq) on a
     spatially sharded grid; same contract as
     pipeline/engine.make_realwave_trajectory_fn: (B, *shape) inputs,
     (u_traj, v_traj) outputs each (B, S, *shape) with v = (u - u_past)/dt
-    (kg_driver.cpp:112). Gautschi and SV integrators; stochastic phi-4 is
-    not grid-shardable (per-point noise would need globally consistent
+    (kg_driver.cpp:112); guard appends bad_at (B,) int32, record_energy an
+    {"energy": (B, S)} series — both all-reduced over the spatial mesh
+    axes. Gautschi and SV integrators; stochastic phi-4 is not
+    grid-shardable (per-point noise would need globally consistent
     per-shard streams) — use the batch engine for it.
     """
-    from nlsolvers_tpu.models.evolve import evolve
+    from nlsolvers_tpu.models.evolve import evolve, evolve_guarded
+    from nlsolvers_tpu.models.nonlinearities import realwave_potential
 
     if kind == "stochastic_phi4":
         raise ValueError("stochastic_phi4 is not supported on sharded "
@@ -646,6 +720,32 @@ def make_sharded_realwave_trajectory_fn(kind, global_shape, Lx, dt, mesh,
     rdtype = real_dtype_of(dtype)
     g = realwave_g(kind)
     filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
+    dV = dx ** len(global_shape)
+    spatial_axes = tuple(range(1, len(global_shape) + 1))
+    all_finite = _guard_helpers(axis_names)
+    potential_density = realwave_potential(kind)
+
+    def energy_of(state):
+        """Per-lane total energy, psum'd over the spatial mesh; the gradient
+        terms use halo-aware central differences so the value matches the
+        unsharded engine's jnp.gradient-based energy."""
+        u, u_past = state
+        v = (u - u_past) / dt
+
+        def coords(a):
+            ln = u.shape[a]
+            N = global_shape[a - 1]           # a counts the batch axis
+            name = axis_names[a - 1]
+            gc = (lax.axis_index(name) * ln
+                  + lax.broadcasted_iota(jnp.int32, u.shape, a))
+            return name, gc, N
+
+        grad2 = 0.0
+        for a in spatial_axes:
+            name, gc, N = coords(a)
+            grad2 = grad2 + sharded_gradient(u, dx, a, name, gc, N) ** 2
+        dens = 0.5 * v ** 2 + 0.5 * grad2 + potential_density(u)
+        return lax.psum(jnp.sum(dens, axis=spatial_axes) * dV, axis_names)
 
     if use_c:
         aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
@@ -692,13 +792,28 @@ def make_sharded_realwave_trajectory_fn(kind, global_shape, Lx, dt, mesh,
                 u, u_past = st
                 return u, (u - u_past) / dt
 
-            u_s, v_s = evolve(step, state0, num_snapshots, snapshot_freq,
-                              observe=observe)            # (S, B, *local)
-            return jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1)
+            if not guard:
+                u_s, v_s = evolve(step, state0, num_snapshots,
+                                  snapshot_freq, observe=observe)
+                return jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1)
+            scalars = {"energy": energy_of} if record_energy else None
+            (u_s, v_s), bad_at, series = evolve_guarded(
+                step, state0, num_snapshots, snapshot_freq,
+                observe=observe, batched=True, scalars=scalars,
+                finite_reduce=all_finite)
+            series = {k: jnp.moveaxis(v, 0, 1) for k, v in series.items()}
+            out = (jnp.moveaxis(u_s, 0, 1), jnp.moveaxis(v_s, 0, 1),
+                   bad_at)
+            return out + ((series,) if record_energy else ())
 
+        out_specs = (out_spec, out_spec)
+        if guard:
+            out_specs += (P(batch_axis),)
+            if record_energy:
+                out_specs += ({"energy": P(batch_axis, None)},)
         return jax.shard_map(local, mesh=mesh,
                              in_specs=(f_spec, f_spec, f_spec, f_spec),
-                             out_specs=(out_spec, out_spec),
+                             out_specs=out_specs,
                              check_vma=False)(u0, v0, m, c)
 
     return traj

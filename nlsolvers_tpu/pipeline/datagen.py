@@ -229,10 +229,6 @@ class Datagen:
     def _build_traj_fn(self):
         cfg = self.cfg
         if cfg.shard_grid:
-            # the grid-sharded engine (parallel/spatial.py) has no guarded
-            # variant yet; its outputs keep the unguarded shape
-            cfg.guard = False
-            cfg.record_energy = False
             return self._build_grid_sharded_traj_fn()
         engine_mesh = cfg.mesh if self.nproc == 1 else None
         if cfg.family == "nlse":
@@ -257,33 +253,47 @@ class Datagen:
         GRID is decomposed over the mesh's spatial axes — the path for
         single runs too large for one chip (1024^2/256^3 configs)."""
         cfg = self.cfg
-        if self.nproc > 1:
-            raise NotImplementedError(
-                "grid sharding across hosts is not supported yet; use "
-                "shard_grid within one host (ICI) and the batch axis over "
-                "hosts")
         from nlsolvers_tpu.parallel import spatial
         from nlsolvers_tpu.parallel.mesh import make_mesh
 
         axes = ("gy", "gx") if cfg.dim == 2 else ("gz", "gy", "gx")
-        if cfg.mesh is None:
+        if self.nproc > 1:
+            # multi-host x grid-shard: batch over hosts (DCN), grid over
+            # each host's local devices (ICI). jax.devices() enumerates
+            # host-major, so the leading batch axis maps one row per host
+            # and halo ppermutes never cross DCN.
             n = int(np.prod(cfg.shard_grid))
-            cfg.mesh = make_mesh(axes, shape=cfg.shard_grid,
-                                 devices=jax.devices()[:n])
-        batch_ax = (cfg.batch_axis if cfg.batch_axis in cfg.mesh.shape
-                    else None)
+            if n != len(jax.local_devices()):
+                raise ValueError(
+                    f"--shard-grid {cfg.shard_grid} needs exactly the "
+                    f"{len(jax.local_devices())} local devices per host "
+                    f"(got {n}); the batch axis spans hosts")
+            if cfg.mesh is None:
+                cfg.mesh = dist.global_mesh(
+                    (cfg.batch_axis,) + axes,
+                    shape=(self.nproc,) + tuple(cfg.shard_grid))
+            batch_ax = cfg.batch_axis
+        else:
+            if cfg.mesh is None:
+                n = int(np.prod(cfg.shard_grid))
+                cfg.mesh = make_mesh(axes, shape=cfg.shard_grid,
+                                     devices=jax.devices()[:n])
+            batch_ax = (cfg.batch_axis if cfg.batch_axis in cfg.mesh.shape
+                        else None)
         if cfg.family == "nlse":
             return spatial.make_sharded_nlse_trajectory_fn(
                 cfg.system, cfg.shape, cfg.Lx, cfg.dt, cfg.mesh,
                 axis_names=axes, batch_axis=batch_ax,
                 integrator=cfg.integrator, krylov_m=cfg.krylov_m,
                 sigma1=cfg.sigma1, sigma2=cfg.sigma2, kappa=cfg.kappa,
-                dtype=np.dtype(cfg.dtype).type, variant=cfg.variant)
+                dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
+                guard=cfg.guard, record_energy=cfg.record_energy)
         return spatial.make_sharded_realwave_trajectory_fn(
             cfg.system, cfg.shape, cfg.Lx, cfg.dt, cfg.mesh,
             axis_names=axes, batch_axis=batch_ax,
             integrator=cfg.integrator, krylov_m=cfg.krylov_m,
-            dtype=np.dtype(cfg.dtype).type, variant=cfg.variant)
+            dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
+            guard=cfg.guard, record_energy=cfg.record_energy)
 
     def _space_for(self, family):
         cfg = self.cfg
@@ -389,6 +399,10 @@ class Datagen:
         if self.nproc == 1:
             a = np.asarray(arr)
             return a, np.arange(a.shape[0])
+        if self.cfg.shard_grid:
+            # grid-sharded outputs: each batch row is spatially fragmented
+            # across this host's local devices — stitch by shard index
+            return dist.host_batch_block(arr, self.nproc, self.pid)
         b_local = arr.shape[0] // self.nproc
         start = self.pid * b_local
         want = {}

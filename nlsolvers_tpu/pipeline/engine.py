@@ -32,7 +32,8 @@ from nlsolvers_tpu.models import nlse as nlse_mod
 from nlsolvers_tpu.models import realwave as rw
 from nlsolvers_tpu.models.evolve import evolve, evolve_guarded
 from nlsolvers_tpu.models.nonlinearities import (NLSE_KINDS, REALWAVE_KINDS,
-                                                 nlse_density, realwave_g)
+                                                 nlse_density, realwave_g,
+                                                 realwave_potential)
 from nlsolvers_tpu.ops import boundaries as bc
 from nlsolvers_tpu.ops import operators as ops
 from nlsolvers_tpu.parallel.batch import shard_batch
@@ -255,18 +256,7 @@ def make_realwave_trajectory_fn(kind, shape, Lx, dt, *, integrator="gautschi",
 
     dV = dx ** len(shape)
     spatial_axes = tuple(range(1, len(shape) + 1))
-    # potential densities matching analysis/energy.energy_terms (the
-    # reference's vocabulary, incl. its phi4/KG quirks) plus the integral
-    # of g for the kinds the analysis tables leave out
-    potential_density = {
-        "sine_gordon": lambda u: 1.0 - jnp.cos(u),
-        "double_sine_gordon": lambda u: (1.0 - jnp.cos(u)
-                                         + 0.3 * (1.0 - jnp.cos(2.0 * u))),
-        "hyperbolic_sine_gordon": lambda u: jnp.cosh(u) - 1.0,
-        "klein_gordon": lambda u: 0.5 * u ** 4,
-        "phi4": lambda u: u ** 2 - u ** 4,
-        "stochastic_phi4": lambda u: u ** 2 - u ** 4,
-    }[kind]
+    potential_density = realwave_potential(kind)
 
     def energy_of(state):
         u, u_past = state

@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--snapshots", type=int, default=4)
     ap.add_argument("--krylov-m", type=int, default=6)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--shard-grid", default="",
+                    help="e.g. '1,2': grid-shard each trajectory over the "
+                         "host's local devices (batch axis spans hosts)")
+    ap.add_argument("--record-energy", action="store_true")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -68,7 +72,11 @@ def main():
                               elapsed=time.time() - t0)), flush=True)
         return 0
 
-    mesh = dist.global_mesh(("batch",))
+    shard_grid = (tuple(int(x) for x in args.shard_grid.split(","))
+                  if args.shard_grid else None)
+    # grid-sharded runs build their own (batch, gy, gx) global mesh inside
+    # Datagen (pipeline/datagen._build_grid_sharded_traj_fn)
+    mesh = None if shard_grid else dist.global_mesh(("batch",))
 
     from nlsolvers_tpu.pipeline.datagen import Datagen, DatagenConfig
 
@@ -77,7 +85,8 @@ def main():
         nx=args.nx, T=args.T, nt=args.nt, snapshots=args.snapshots,
         num_runs=args.num_runs, batch_size=args.batch_size,
         krylov_m=args.krylov_m, seed=args.seed, output_dir=args.outdir,
-        mesh=mesh)
+        mesh=mesh, shard_grid=shard_grid,
+        record_energy=args.record_energy)
     t0 = time.time()
     written = Datagen(cfg).run()
     elapsed = time.time() - t0

