@@ -292,6 +292,40 @@ def test_grid_sharded_realwave_energy_matches_unsharded():
                                np.asarray(ser_ref["energy"]), rtol=1e-10)
 
 
+def test_grid_sharded_3d_energy_matches_unsharded():
+    """3-axis sharded energy (halo-aware gradients over gz/gy/gx + psum)
+    == unsharded engine energy to roundoff."""
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    n3, B, snaps = 16, 1, 3
+    rng = np.random.default_rng(9)
+    shape = (n3, n3, n3)
+    m = np.ones((B,) + shape, np.float64)
+    c = np.ones((B,) + shape, np.float64)
+    u0 = 0.3 * rng.standard_normal((B,) + shape)
+    v0 = np.zeros_like(u0)
+    fn_ref = make_realwave_trajectory_fn(
+        "klein_gordon", shape, LX, 1e-3, integrator="sv", krylov_m=4,
+        dtype=jnp.float64, guard=True, record_energy=True,
+        variant="clean")
+    _, _, bad_ref, ser_ref = fn_ref(u0, v0, m, c, snaps, 2)
+    fn_sh = spatial.make_sharded_realwave_trajectory_fn(
+        "klein_gordon", shape, LX, 1e-3, mesh,
+        axis_names=("gz", "gy", "gx"), integrator="sv", krylov_m=4,
+        dtype=jnp.float64, guard=True, record_energy=True,
+        variant="clean")
+    _, _, bad_sh, ser_sh = fn_sh(u0, v0, m, c, snaps, 2)
+    np.testing.assert_array_equal(np.asarray(bad_sh), np.asarray(bad_ref))
+    np.testing.assert_allclose(np.asarray(ser_sh["energy"]),
+                               np.asarray(ser_ref["energy"]), rtol=1e-10)
+
+
 def test_cli_shard_grid(tmp_path):
     from nlsolvers_tpu.pipeline.__main__ import main
     rc = main(["nlse", "--phenomenon", "multi_soliton", "--nx", str(N),
