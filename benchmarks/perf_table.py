@@ -60,10 +60,14 @@ def lanczos_bytes(shape, m, planes, mode, n_specs=1):
                 if mode == "aniso2d":
                     total += 3 * wc
     else:                                                 # two-pass 3D
+        # y-slab pass1 (lanczos3d_pipe._pass1y_call, the default): the
+        # z-stencil is internal to the (P, nz, ty, nx) blocks, so pass1
+        # streams j+2 columns (no z-offset re-fetches of W_j); the
+        # row-tiled fallback adds 2 more (+" + z streams").
         for j in range(m - 1):
-            total += (j + 2 + 2) * sc                     # pass1 + z streams
+            total += (j + 2) * sc                         # pass1 (y-slab)
             if mode == "aniso3d":
-                total += 4 * wc
+                total += 3 * wc                           # wx, wy, wz
             total += (j + 3) * sc                         # pass2
     total += m * sc + n_specs * sc                        # combine
     return total

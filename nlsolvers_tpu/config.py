@@ -33,11 +33,30 @@ pallas_mode = "auto"
 # corrections (<W_i, W_{j-1}> gram terms) as scalars. Streams j+2 columns
 # per iteration instead of the two-pass path's 2j+3 (73 vs 117 column
 # streams per m=10 matfunc). Same math as the two-pass kernels to rounding;
-# tests pin both against the pure-XLA path. Applies to the unsharded 2D
-# descriptors (iso + anisotropic); 3D keeps the two-pass kernels, where the
-# z-offset neighbor blocks would make in-register reconstruction re-stream
-# every input 3x.
+# tests pin both against the pure-XLA path (parametrized over this flag).
+# Applies to the unsharded 2D descriptors (iso + anisotropic).
 pallas_pipeline = True
+
+# Y-slab block geometry for UNSHARDED 3D fused Lanczos
+# (ops/pallas/lanczos3d_pipe.py): blocks are (P, nz, ty, nx) — full
+# z-extent over a y-slab — so the z-stencil is internal (2 fewer streams,
+# no z-offset block fetches) and the grid is ny/ty fat programs instead
+# of nz*ny/tile row-tiles. Default ON: measured on v5e (min of 5
+# interleaved reps, 128^3 m=10 matfunc) 5.20 ms vs the row-tiled
+# two-pass kernels' 5.87 ms — the row-tiled path runs program-grain
+# bound. Off -> the original row-tiled kernels (lanczos2d pass1/pass2).
+pallas_ytile_3d = True
+
+# Pipelined SINGLE-PASS fused Lanczos for unsharded 3D grids (the y-slab
+# analogue of pallas_pipeline, lanczos3d_pipe.lanczos_pipe3d): streams j+2
+# columns per iteration instead of the two-pass 2j+4. Measured on v5e it
+# is NOT faster than the y-slab two-pass (6.25 vs 5.20 ms on the same
+# interleaved 128^3 m=10 run) despite ~45% less HBM traffic: the 3D
+# kernels are bound by per-program compute/scheduling, not bandwidth, and
+# the fatter fused kernel pipelines worse — same finding as the 2D
+# _FUSED_ITER/resident variants. Kept opt-in, parity-tested, for future
+# Mosaic codegen.
+pallas_pipeline_3d = False
 
 # Single-kernel VMEM-resident SS2 step (ops/pallas/resident2d.py).
 # Default OFF: measured on v5e, Mosaic reaches only ~220 GB/s on resident

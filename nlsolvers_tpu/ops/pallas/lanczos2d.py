@@ -1299,6 +1299,22 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         return _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode,
                              op_args, extra_ops, safe_inv, n_op, interpret)
 
+    if (_cfg.pallas_pipeline and _cfg.pallas_ytile_3d and not fused_iter
+            and m > 1 and not axis_names and mode in ("iso3d", "aniso3d")):
+        from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
+            lanczos_pipe3d, lanczos_twopass3d_y, pick_ty3d)
+        nop_pipe = 0 if mode == "iso3d" else 4
+        if pick_ty3d(geom[0], geom[1], nx, max(m - 2, 0), P, nop_pipe) >= 8:
+            weights = (wx, wym, wz) if mode == "aniso3d" else None
+            if _cfg.pallas_pipeline_3d:
+                # opt-in single-pass pipe (see config.pallas_pipeline_3d)
+                return lanczos_pipe3d(u, m, P, ny, nx, scale, sign, variant,
+                                      mode, geom, op_args, weights,
+                                      safe_inv, n_op, interpret)
+            return lanczos_twopass3d_y(u, m, P, ny, nx, scale, sign,
+                                       variant, mode, geom, weights,
+                                       safe_inv, interpret)
+
     beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
     W = [u]
     s = [safe_inv(beta0)]

@@ -1,0 +1,545 @@
+"""Pipelined single-pass fused Lanczos for unsharded 3D grids (y-tiled).
+
+The 2D pipelined kernel (`lanczos2d._pipe_call`) fuses iteration j's
+reconstruction with iteration j+1's stencil in one kernel, streaming j+2
+columns per iteration instead of the two-pass path's 2j+3. Porting that
+to 3D was blocked by the z-neighbor: on the merged (nz*ny, nx) row view
+the 7-point stencil needs the RECONSTRUCTED field one whole plane (ny
+rows) away, which doesn't exist in HBM inside the fusing kernel.
+
+The fix here is a different block geometry: blocks are (P, nz, ty, nx) —
+the FULL z-extent over a y-slab. Then
+
+* z-neighbors are internal shifts along the block's own nz axis (the
+  missing neighbors at z = 0 / nz-1 are exact zero planes — no-flux);
+* y-neighbors cross blocks only through single-row halo slabs
+  (P, nz, 1, nx), which the kernel reconstructs from a stacked halo input
+  by the same linear combination as the block itself — exactly the 2D
+  pipe's gathered-halo trick, generalized per z;
+* the reference variant's cross-plane y-seam couplings
+  (laplacians.hpp:140's flat-index loop: row (z, ny-1) couples to
+  (z+1, 0)) are carried IN the gathered slabs — the y=0 block's up-slab
+  is u(z-1, ny-1, ·) with the z=0 plane zeroed, and symmetrically for
+  the y=ny-1 block — so the kernel needs no seam masks at all.
+
+No scratch, no dynamic VMEM addressing, short grids (ny/ty programs of
+MB-scale blocks): the same streaming regime in which the 2D pipe reaches
+~0.7 of measured HBM peak. Two earlier designs of this kernel (row-tiled
+and plane-grouped blocks with rolling VMEM scratch windows over the
+sequential grid) were built and measured ~1.1-1.2x over two-pass only —
+Mosaic's dynamically-sliced VMEM access and the scratch round-trips ate
+the traffic win.
+
+HBM traffic per iteration: j+2 column reads + 2 writes (same as the 2D
+pipe) vs the 3D two-pass kernels' (2j+6)+2. The scalar recurrence
+(projections recovered from the previous kernel's d-dots and the gram
+terms two kernels back) is exactly `lanczos2d._lanczos_pipe`'s.
+
+Semantics parity: `build_laplacian_noflux_3d` and the anisotropic 3D
+builder (laplacians.hpp:105-218); tests pin this path against the
+pure-XLA operators and the two-pass kernels (tests/test_pallas.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nlsolvers_tpu.ops.pallas.lanczos2d import (
+    _VMEM_BUDGET, _compiler_params, _pass1_call, _pick_tile, _pipe_call)
+
+__all__ = ["lanczos_pipe3d", "lanczos_twopass3d_y", "pick_ty3d"]
+
+
+def pick_ty3d(nz, ny, nx, j, P, nop):
+    """Largest y-tile (multiple of 8, divides ny) whose double-buffered
+    stream set fits the VMEM budget. Streams: av + (j+1) W + 2 outputs +
+    halo stack (worth ~(j+2)*2 rows) + nop aniso weight columns."""
+    best = 0
+    t = 8
+    while t <= ny:
+        if ny % t == 0:
+            blk = P * nz * t * nx * 4
+            halo = (j + 2) * P * nz * 2 * nx * 4
+            if 2 * ((j + 5 + nop) * blk + halo) <= _VMEM_BUDGET:
+                best = t
+        t += 8
+    return best
+
+
+def _dots4(P, Wi, w):
+    """Inner-product partials of a (P, nz, ty, nx) block pair."""
+    if P == 1:
+        return jnp.sum(Wi[0] * w[0]), jnp.float32(0.0)
+    re = jnp.sum(Wi[0] * w[0] + Wi[1] * w[1])
+    im = jnp.sum(Wi[0] * w[1] - Wi[1] * w[0])
+    return re, im
+
+
+def _stencil_3d_y(u, up, dn, y0, ty, nz, ny, nx, scale, sign, variant):
+    """7-point no-flux Laplacian of a (P, nz, ty, nx) y-slab block.
+
+    `up`/`dn` are (P, nz, 1, nx) halo slabs carrying the exact y-neighbor
+    values (including the reference variant's cross-plane seam couplings
+    and the domain-edge zeros), so no y masks are needed in-kernel.
+    Parity: `build_laplacian_noflux_3d` (laplacians.hpp:105-156) /
+    ops/operators.laplacian_3d.
+    """
+    zc = jnp.zeros(u.shape[:3] + (1,), u.dtype)
+    cols = lax.broadcasted_iota(jnp.int32, (1, 1, ty, nx), 3)
+    lft, rgt = cols == 0, cols == nx - 1
+    left = jnp.where(lft, 0.0, jnp.concatenate([zc, u[..., :-1]], axis=3))
+    right = jnp.where(rgt, 0.0, jnp.concatenate([u[..., 1:], zc], axis=3))
+    above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+    below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+    zplane = jnp.zeros_like(u[:, :1])
+    z_above = jnp.concatenate([zplane, u[:, :-1]], axis=1)
+    z_below = jnp.concatenate([u[:, 1:], zplane], axis=1)
+    zs = lax.broadcasted_iota(jnp.int32, (1, nz, ty, nx), 1)
+    ys = lax.broadcasted_iota(jnp.int32, (1, nz, ty, nx), 2) + y0
+    zb = (zs == 0) | (zs == nz - 1)
+    yb = (ys == 0) | (ys == ny - 1)
+    if variant == "reference":
+        diag = jnp.where(zb | yb | lft | rgt, -5.0, -6.0)
+    else:
+        cnt = jnp.zeros((1, nz, ty, nx), u.dtype)
+        for mask in (zs == 0, zs == nz - 1, ys == 0, ys == ny - 1,
+                     lft, rgt):
+            cnt = cnt + mask.astype(u.dtype)
+        diag = -(6.0 - cnt)
+    nb = above + below + z_above + z_below + left + right
+    return (nb + diag * u) * (scale * sign)
+
+
+def _stencil_aniso_3d_y(u, up, dn, wx, wy, wyh, wz, ty, scale, sign):
+    """Finite-volume div(c grad u) of a (P, nz, ty, nx) y-slab block.
+
+    Weights arrive zero-padded on their no-flux faces (see
+    ops/operators.anisotropic_laplacian_3d), `up`/`dn` carry the exact
+    y-neighbor slabs (seam-aware), `wyh` the block's -y face-weight halo
+    slab (zeros where no face exists), and wz's -z shift is internal with
+    a zero plane at z=0. Parity: laplacians.hpp:158-218.
+    """
+    zc = jnp.zeros(u.shape[:3] + (1,), u.dtype)
+    u_r = jnp.concatenate([u[..., 1:], zc], axis=3)
+    fx = wx * (u_r - u)                                 # 0 at col nx-1
+    zc1 = jnp.zeros(fx.shape[:3] + (1,), fx.dtype)
+    fx_l = jnp.concatenate([zc1, fx[..., :-1]], axis=3)
+    below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+    fy = wy * (below - u)                               # 0 where padded
+    above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+    wy_up = jnp.concatenate([wyh, wy[:, :, :-1, :]], axis=2)
+    fy_m1 = wy_up * (u - above)                         # wyh = 0 at y = 0
+    zplane = jnp.zeros_like(u[:, :1])
+    z_below = jnp.concatenate([u[:, 1:], zplane], axis=1)
+    fz = wz * (z_below - u)                             # 0 at z = nz-1
+    z_above = jnp.concatenate([zplane, u[:, :-1]], axis=1)
+    wzp = jnp.zeros_like(wz[:, :1])
+    wz_up = jnp.concatenate([wzp, wz[:, :-1]], axis=1)
+    fz_m = wz_up * (u - z_above)                        # 0 at z = 0
+    return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+
+
+def gather_y_halos(a4, ty, variant):
+    """Per-y-block halo slabs of a (P, nz, ny, nx) field:
+    (P, nz, nblk, 2, nx) where [..., k, 0, :] is the row above block k and
+    [..., k, 1, :] the row below — with the reference variant's cross-plane
+    seam values (z-shifted edge rows, domain ends zeroed) at the first/last
+    block, exact zeros there otherwise."""
+    P, nz, ny, nx = a4.shape
+    nblk = ny // ty
+    ks = np.arange(nblk)
+    up = jnp.take(a4, jnp.asarray(np.maximum(ks * ty - 1, 0)), axis=2)
+    dn = jnp.take(a4, jnp.asarray(np.minimum((ks + 1) * ty, ny - 1)),
+                  axis=2)                                # (P, nz, nblk, nx)
+    zrow = jnp.zeros_like(a4[:, :1, 0, :])
+    if variant in ("reference", "seam"):
+        # "seam": anisotropic operators always get seam-valued u halos —
+        # whether they contribute is decided by the wy face weights (the
+        # reference merged-row padding carries a nonzero seam face, the
+        # clean padding zeros it), so the data stays correct either way.
+        seam_up = jnp.concatenate([zrow, a4[:, :-1, -1, :]], axis=1)
+        seam_dn = jnp.concatenate([a4[:, 1:, 0, :], zrow], axis=1)
+    else:
+        seam_up = jnp.zeros_like(up[:, :, 0, :])
+        seam_dn = seam_up
+    up = up.at[:, :, 0, :].set(seam_up)
+    dn = dn.at[:, :, nblk - 1, :].set(seam_dn)
+    return jnp.stack([up, dn], axis=3)                   # (P,nz,nblk,2,nx)
+
+
+def _gather_wy_halos(wy4, ty):
+    """-y face-weight halo slabs (1, nz, nblk, 1, nx): block k's first row
+    uses the face weight at y = k*ty - 1; block 0's is the z-shifted seam
+    face wy(z-1, ny-1) — automatically zero when the operator was built
+    with the clean (per-plane zero-padded) weights."""
+    _, nz, ny, nx = wy4.shape
+    nblk = ny // ty
+    ks = np.arange(nblk)
+    wyh = jnp.take(wy4, jnp.asarray(np.maximum(ks * ty - 1, 0)), axis=2)
+    zrow = jnp.zeros_like(wy4[:, :1, 0, :])
+    seam = jnp.concatenate([zrow, wy4[:, :-1, -1, :]], axis=1)
+    wyh = wyh.at[:, :, 0, :].set(seam)
+    return wyh[:, :, :, None, :]                         # (1,nz,nblk,1,nx)
+
+
+def _pass1y_call(j, P, nz, ny, nx, ty, scale, sign, variant, interpret,
+                 mode):
+    """Two-pass pass1 on y-slab blocks: w = s_j·A(W_j) − bs·W_{j-1} fused
+    with the projection dots <W_i, w>, i <= j.
+
+    Identical math to `lanczos2d._pass1_call` mode iso3d/aniso3d, but with
+    the (P, nz, ty, nx) block geometry: the z-stencil is internal (no ±K
+    z-offset block streams — 2 fewer streams of W_j), the y-halos arrive
+    as exact gathered slabs, and the grid is ny/ty fat programs instead of
+    nz·ny/tile row-tiles — the row-tiled 3D kernels run program-grain
+    bound at ~0.5 of stream peak on v5e.
+
+    Inputs: scal (1, 2) SMEM [s_j, bs], W_j block, W_j halo slabs,
+    aniso weights (wx, wy, wyh slabs, wz), W_0..W_{j-1} blocks.
+    Outputs: w block, raw (j+1, 2) SMEM.
+    """
+    nblk = ny // ty
+    grid = (nblk,)
+    blk = (P, nz, ty, nx)
+    wblk = (1, nz, ty, nx)
+    nop = {"iso3d": 0, "aniso3d": 4}[mode]
+
+    def kernel(scal, u_ref, h_ref, *rest):
+        ops_ = rest[:nop]
+        wrefs = rest[nop:nop + j]
+        w_out, raw_out = rest[nop + j], rest[nop + j + 1]
+        i = pl.program_id(0)
+        u = u_ref[...]
+        h = h_ref[...]                       # (P, nz, 1, 2, nx)
+        up = h[:, :, 0, 0, :][:, :, None, :]
+        dn = h[:, :, 0, 1, :][:, :, None, :]
+        if mode == "aniso3d":
+            av = _stencil_aniso_3d_y(u, up, dn, ops_[0][...], ops_[1][...],
+                                     ops_[2][:, :, 0, 0, :][:, :, None, :],
+                                     ops_[3][...], ty, scale, sign)
+        else:
+            av = _stencil_3d_y(u, up, dn, i * ty, ty, nz, ny, nx, scale,
+                               sign, variant)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when(i == 0)
+        def _():
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = u if idx == j else wrefs[idx][...]
+            re, im = _dots4(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    center = lambda i: (0, 0, i, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec,
+        pl.BlockSpec((P, nz, 1, 2, nx), lambda i: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if mode == "aniso3d":
+        wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
+        in_specs += [wspec, wspec,
+                     pl.BlockSpec((1, nz, 1, 1, nx),
+                                  lambda i: (0, 0, i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     wspec]
+    in_specs += [blkspec for _ in range(j)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, nz, ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 3 + nop, nz * ty, nx, P),
+        interpret=interpret,
+    )
+
+
+def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
+                        weights, safe_inv, interpret):
+    """Two-pass Lanczos with the y-slab pass1 (`_pass1y_call`) and the
+    geometry-agnostic `lanczos2d._pass2_call` on the merged row view —
+    the production 3D fused path. Same recurrence as the row-tiled
+    two-pass loop in `lanczos2d.lanczos_planar`, bit-comparable results
+    (different block partition changes only reduction grouping)."""
+    from nlsolvers_tpu.ops.pallas.lanczos2d import _pass2_call
+
+    nz, ny = geom
+    nop_pipe = 0 if mode == "iso3d" else 4
+    halo_variant = "seam" if mode == "aniso3d" else variant
+    if mode == "aniso3d":
+        wx4, wy4, wz4 = (w.reshape(1, nz, ny, nx) for w in weights)
+        wyh_cache = {}
+    as4 = lambda a: a.reshape(P, nz, ny, nx)
+    beta0 = jnp.sqrt(jnp.sum(u * u))
+    W = [u]
+    s = [safe_inv(beta0)]
+    alphas, betas = [], []
+    for j in range(m - 1):
+        ty = pick_ty3d(nz, ny, nx, j, P, nop_pipe)
+        bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
+        scal = jnp.stack([s[j].astype(jnp.float32),
+                          bs.astype(jnp.float32)]).reshape(1, 2)
+        halos = gather_y_halos(as4(W[j]), ty, halo_variant)
+        args = [scal, as4(W[j]), halos]
+        if mode == "aniso3d":
+            if ty not in wyh_cache:
+                wyh_cache[ty] = _gather_wy_halos(wy4, ty)
+            args += [wx4, wy4, wyh_cache[ty], wz4]
+        args.extend(as4(a) for a in W[:j])
+        w, raw = _pass1y_call(j, P, nz, ny, nx, ty, scale, sign, variant,
+                              interpret, mode)(*args)
+        w = w.reshape(P, R, nx)
+        sv = jnp.stack([si.astype(jnp.float32) for si in s])     # (j+1,)
+        proj = sv[:, None] * raw                                  # (j+1, 2)
+        alphas.append(proj[j, 0])
+        q = sv[:, None] * proj
+        tile2 = _pick_tile(R, nx, j + 4, nplanes=P)
+        wn, nsq = _pass2_call(j, P, R, nx, tile2, interpret)(
+            q, w, *W[:j + 1])
+        b = jnp.sqrt(nsq[0, 0])
+        W.append(wn)
+        s.append(safe_inv(b))
+        betas.append(b)
+    return W, s, alphas, betas, beta0
+
+
+def _pipe3d_call(j, P, nz, ny, nx, ty, scale, sign, variant, interpret,
+                 mode):
+    """ONE-kernel pipelined 3D Lanczos iteration on y-slab blocks:
+    pass2(j) fused with pass1(j+1), mirroring `lanczos2d._pipe_call`.
+
+    Inputs: scal (j+2, 2) SMEM [(s_j, 0), c_0..c_j], av_j block, stacked
+    halo slabs ((j+2)*P, nz, nblk, 2, nx) of [av_j, W_0..W_j], aniso
+    weight streams (wx, wy, wy-halo slabs, wz), W_0..W_j blocks.
+    Outputs: W_{j+1}, av_{j+1}, SMEM nsq (1,1), gram (j+1,2), d (j+2,2).
+    """
+    nblk = ny // ty
+    grid = (nblk,)
+    blk = (P, nz, ty, nx)
+    wblk = (1, nz, ty, nx)
+    nop = {"iso3d": 0, "aniso3d": 4}[mode]
+
+    def kernel(scal, av_ref, h_ref, *rest):
+        ops_ = rest[:nop]
+        wrefs = rest[nop:nop + j + 1]
+        wn_out, av_out, nsq_out, gram_out, d_out = rest[nop + j + 1:]
+        i = pl.program_id(0)
+        s = scal[0, 0]
+        av = av_ref[...]
+        Ws = [wrefs[idx][...] for idx in range(j + 1)]
+        a0 = s * av[0]
+        a1 = s * av[1] if P == 2 else None
+        for idx in range(j + 1):
+            cr = scal[1 + idx, 0]
+            if P == 1:
+                a0 = a0 - cr * Ws[idx][0]
+            else:
+                ci = scal[1 + idx, 1]
+                a0 = a0 - (cr * Ws[idx][0] - ci * Ws[idx][1])
+                a1 = a1 - (cr * Ws[idx][1] + ci * Ws[idx][0])
+        wn = a0[None] if P == 1 else jnp.stack([a0, a1])
+        wn_out[...] = wn
+
+        @pl.when(i == 0)
+        def _():
+            nsq_out[0, 0] = 0.0
+            for idx in range(j + 1):
+                gram_out[idx, 0] = 0.0
+                gram_out[idx, 1] = 0.0
+            for idx in range(j + 2):
+                d_out[idx, 0] = 0.0
+                d_out[idx, 1] = 0.0
+
+        nsq = jnp.sum(a0 * a0)
+        if P == 2:
+            nsq = nsq + jnp.sum(a1 * a1)
+        nsq_out[0, 0] += nsq
+        for idx in range(j + 1):
+            re, im = _dots4(P, Ws[idx], wn)
+            gram_out[idx, 0] += re
+            gram_out[idx, 1] += im
+
+        # Halo slabs of the reconstructed column: the same linear
+        # combination applied to the inputs' gathered slabs (pointwise, so
+        # it commutes with row selection).
+        h = h_ref[...]                   # ((j+2)*P, nz, 1, 2, nx)
+        hs = []                          # per plane: [up, dn] as (nz, nx)
+        for p in range(P):
+            hs.append([s * h[p, :, 0, 0, :], s * h[p, :, 0, 1, :]])
+        for idx in range(j + 1):
+            cr = scal[1 + idx, 0]
+            base = (1 + idx) * P
+            if P == 1:
+                hs[0][0] = hs[0][0] - cr * h[base, :, 0, 0, :]
+                hs[0][1] = hs[0][1] - cr * h[base, :, 0, 1, :]
+            else:
+                ci = scal[1 + idx, 1]
+                w0u, w1u = h[base, :, 0, 0, :], h[base + 1, :, 0, 0, :]
+                w0d, w1d = h[base, :, 0, 1, :], h[base + 1, :, 0, 1, :]
+                hs[0][0] = hs[0][0] - (cr * w0u - ci * w1u)
+                hs[0][1] = hs[0][1] - (cr * w0d - ci * w1d)
+                hs[1][0] = hs[1][0] - (cr * w1u + ci * w0u)
+                hs[1][1] = hs[1][1] - (cr * w1d + ci * w0d)
+        up = jnp.stack([hs[p][0] for p in range(P)])[:, :, None, :]
+        dn = jnp.stack([hs[p][1] for p in range(P)])[:, :, None, :]
+        if mode == "aniso3d":
+            avn = _stencil_aniso_3d_y(wn, up, dn, ops_[0][...], ops_[1][...],
+                                      ops_[2][:, :, 0, 0, :][:, :, None, :],
+                                      ops_[3][...], ty, scale, sign)
+        else:
+            avn = _stencil_3d_y(wn, up, dn, i * ty, ty, nz, ny, nx, scale,
+                                sign, variant)
+        av_out[...] = avn
+        for idx in range(j + 1):
+            re, im = _dots4(P, Ws[idx], avn)
+            d_out[idx, 0] += re
+            d_out[idx, 1] += im
+        re, im = _dots4(P, wn, avn)
+        d_out[j + 1, 0] += re
+        d_out[j + 1, 1] += im
+
+    center = lambda i: (0, 0, i, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((j + 2, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec,                                              # av_j
+        pl.BlockSpec(((j + 2) * P, nz, 1, 2, nx),             # halo stack
+                     lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if mode == "aniso3d":
+        wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
+        in_specs += [wspec, wspec,                            # wx, wy
+                     pl.BlockSpec((1, nz, 1, 1, nx),          # wy halo slabs
+                                  lambda i: (0, 0, i, 0, 0),
+                                  memory_space=pltpu.VMEM),
+                     wspec]                                   # wz
+    in_specs += [blkspec for _ in range(j + 1)]               # W_0..W_j
+    out_specs = [
+        blkspec,                                              # W_{j+1}
+        blkspec,                                              # av_{j+1}
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((j + 2, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((P, nz, ny, nx), jnp.float32),
+                 jax.ShapeDtypeStruct((P, nz, ny, nx), jnp.float32),
+                 jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                 jax.ShapeDtypeStruct((j + 1, 2), jnp.float32),
+                 jax.ShapeDtypeStruct((j + 2, 2), jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=_compiler_params(j + 5 + nop - (-2 * (j + 2) // ty),
+                                         nz * ty, nx, P),
+        interpret=interpret,
+    )
+
+
+def lanczos_pipe3d(u, m, P, R, nx, scale, sign, variant, mode, geom,
+                   op_args, weights, safe_inv, n_op, interpret):
+    """Pipelined single-pass Lanczos driver for unsharded 3D grids.
+
+    Same scalar recurrence as `lanczos2d._lanczos_pipe` (projections
+    raw_i = ⟨W_i, w_j⟩ recovered as s_j·d_i − bs·⟨W_i, W_{j-1}⟩ from the
+    previous kernel's d-dots and the gram terms two kernels back). The
+    init av_0/d_0 uses the two-pass `_pass1_call(0)` on the merged row
+    view, the final (stencil-free) iteration the mode-independent
+    `_pipe_call(last=True)`; mid iterations run the y-slab `_pipe3d_call`
+    with reshape-only view changes. `weights` holds the aniso padded
+    face-weight arrays (wx, wy, wz) as (1, R, nx), or None for iso3d.
+    """
+    nz, ny = geom
+    nop_pipe = 0 if mode == "iso3d" else 4
+    nsq0 = jnp.sum(u * u)
+    beta0 = jnp.sqrt(nsq0)
+    tile0 = _pick_tile(ny, nx, 2 + n_op, nplanes=P)
+    scal0 = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    av, d_prev = _pass1_call(0, P, R, nx, tile0, scale, sign, variant,
+                             interpret, mode=mode,
+                             geom=geom)(scal0, *op_args(u, tile0))
+    if mode == "aniso3d":
+        wx4, wy4, wz4 = (w.reshape(1, nz, ny, nx) for w in weights)
+        # aniso u-halos are always seam-valued ("seam" mode in
+        # gather_y_halos): whether the seam flux contributes is decided by
+        # the wy face weights, which carry the reference-vs-clean padding
+        # in their data
+        halo_variant = "seam"
+        wyh_cache = {}
+    else:
+        halo_variant = variant
+    W, s = [u], [safe_inv(beta0)]
+    alphas, betas = [], []
+    g_prev = g_prev2 = None
+    zero = jnp.float32(0.0)
+    for j in range(m - 1):
+        sj = s[j].astype(jnp.float32)
+        if j == 0:
+            raw = sj * d_prev
+            bs = zero
+        else:
+            bs = (betas[j - 1] * s[j - 1]).astype(jnp.float32)
+            parts = []
+            if j >= 2:
+                parts.append(g_prev2)                       # i <= j-2
+            nb2 = (betas[j - 2] ** 2) if j >= 2 else nsq0   # i = j-1
+            parts.append(jnp.stack([nb2.astype(jnp.float32), zero])[None])
+            parts.append(jnp.stack([g_prev[j - 1, 0],       # i = j (conj)
+                                    -g_prev[j - 1, 1]])[None])
+            raw = sj * d_prev - bs * jnp.concatenate(parts, axis=0)
+        sv = jnp.stack([si.astype(jnp.float32) for si in s])   # (j+1,)
+        proj = sv[:, None] * raw
+        alphas.append(proj[j, 0])
+        q = sv[:, None] * proj
+        c = q if j == 0 else q.at[j - 1, 0].add(bs)
+        scal = jnp.concatenate([jnp.stack([sj, zero])[None], c], axis=0)
+        lastk = j == m - 2
+        if lastk:
+            tile = _pick_tile(ny, nx, j + 4, nplanes=P)
+            res = _pipe_call(j, P, R, nx, tile, scale, sign, variant,
+                             interpret, mode="iso2d", last=True)(
+                scal, av, *W)
+            wn, nsq, gram = res
+        else:
+            ty = pick_ty3d(nz, ny, nx, j, P, nop_pipe)
+            as4 = lambda a: a.reshape(P, nz, ny, nx)
+            halos = jnp.stack([gather_y_halos(as4(a), ty, halo_variant)
+                               for a in [av] + W])
+            halos = halos.reshape((j + 2) * P, nz, ny // ty, 2, nx)
+            args = [scal, as4(av), halos]
+            if mode == "aniso3d":
+                if ty not in wyh_cache:
+                    wyh_cache[ty] = _gather_wy_halos(wy4, ty)
+                args += [wx4, wy4, wyh_cache[ty], wz4]
+            args.extend(as4(a) for a in W)
+            res = _pipe3d_call(j, P, nz, ny, nx, ty, scale, sign, variant,
+                               interpret, mode)(*args)
+            wn, av, nsq, gram, d_prev = res
+            wn = wn.reshape(P, R, nx)
+            av = av.reshape(P, R, nx)
+        b = jnp.sqrt(nsq[0, 0])
+        W.append(wn)
+        betas.append(b)
+        s.append(safe_inv(b))
+        g_prev2, g_prev = g_prev, gram
+    return W, s, alphas, betas, beta0

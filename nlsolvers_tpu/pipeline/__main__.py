@@ -95,6 +95,12 @@ def build_parser():
                              "(on-device per-snapshot finiteness check with "
                              "early exit once every run in a batch "
                              "diverged)")
+        sp.add_argument("--resume", action="store_true",
+                        help="resumable sweep: derive the run id from "
+                             "--seed and skip batches whose runs are all "
+                             "already archived (same seed => identical "
+                             "remaining runs); launch with --resume from "
+                             "the start to make a sweep resumable")
         sp.add_argument("--record-energy", action="store_true",
                         help="record mass (NLSE) / discrete energy "
                              "(realwave) per snapshot ON DEVICE during "
@@ -175,7 +181,7 @@ def config_from_args(args):
         output_dir=args.output_dir, shard_grid=shard_grid,
         guard=not args.no_guard, record_energy=args.record_energy,
         archive_format=args.archive_format,
-        archive_async=args.async_archive,
+        archive_async=args.async_archive, resume=args.resume,
         mesh=_build_mesh(args.shard_batch, shard_grid, args.dim))
     if args.family == "nlse":
         kwargs.update(sigma1=args.sigma1, sigma2=args.sigma2,

@@ -119,6 +119,21 @@ class DatagenConfig:
     #                                  files + JSON sidecar — the reference
     #                                  device drivers' own output format,
     #                                  util.hpp:37-92)
+    resume: bool = False             # sweep resume: makes the run id
+    #                                  seed-derived (deterministic) and, on
+    #                                  relaunch, skips every batch whose
+    #                                  runs are all already archived while
+    #                                  consuming the same sampler RNG draws
+    #                                  — the remaining runs are identical to
+    #                                  what the original sweep would have
+    #                                  produced. Batches with missing runs
+    #                                  (crash mid-write, or runs skipped by
+    #                                  the stability guard) re-evolve whole;
+    #                                  guard-skipped runs deterministically
+    #                                  diverge and are skipped again. The
+    #                                  reference has no resume at all — a
+    #                                  dead SLURM task re-runs from scratch
+    #                                  (SURVEY.md §5 checkpoint/resume).
 
     def __post_init__(self):
         assert self.family in ("nlse", "realwave")
@@ -180,7 +195,10 @@ class Datagen:
             self.rng = np.random.default_rng(seed_seq)
             sampler_seed = int(seed_seq.generate_state(2)[1])
         else:
-            self.run_id = str(uuid.uuid4())[:8]
+            # resumable sweeps need a relaunch-stable id; otherwise keep the
+            # collision-free uuid (reruns into one dir never overwrite)
+            self.run_id = (f"{cfg.seed & 0xFFFFFFFF:08x}" if cfg.resume
+                           else str(uuid.uuid4())[:8])
             self.rng = np.random.default_rng(cfg.seed)
             sampler_seed = cfg.seed
         self._sampler_seed = sampler_seed
@@ -554,6 +572,35 @@ class Datagen:
             elapsed_time=per_run), indent=2))
         return meta_path
 
+    def _existing_runs(self):
+        """Indices of runs already fully archived under this run id (resume
+        support). Truncated/corrupt files — a crash mid-write — do not
+        count, so their batch re-evolves."""
+        cfg = self.cfg
+        found = set()
+        if cfg.archive_format == "hdf5":
+            import h5py
+            for p in self.h5_dir.glob(f"run_{self.run_id}_*.h5"):
+                try:
+                    idx = int(p.stem.rsplit("_", 1)[1])
+                    with h5py.File(p, "r") as f:
+                        if "u" in f and "metadata" in f:
+                            found.add(idx)
+                except (OSError, ValueError):
+                    continue
+        else:
+            for p in self.h5_dir.glob(f"run_{self.run_id}_*.json"):
+                try:
+                    idx = int(p.stem.rsplit("_", 1)[1])
+                    # the sidecar is written after the array submissions,
+                    # but the native writer flushes asynchronously — require
+                    # a loadable trajectory header too
+                    np.load(self.h5_dir / f"{p.stem}_u.npy", mmap_mode="r")
+                    found.add(idx)
+                except (OSError, ValueError):
+                    continue
+        return found
+
     def _archive_flush(self, futures):
         """Resolve archiver futures in submission order; drain the native
         writer so every byte is on disk before run() returns."""
@@ -582,15 +629,25 @@ class Datagen:
         quota = max(1, mesh_n // self.nproc) if self.nproc > 1 else mesh_n
 
         # plan the batches, then pipeline: dispatch k+1 before fetching k
-        plan = []
+        plan = []          # (batch, offset into this host's run block)
+        off = 0
         left = cfg.num_runs
         while left > 0:
-            plan.append(min(cfg.batch_size, left))
-            left -= plan[-1]
+            b = min(cfg.batch_size, left)
+            plan.append((b, off))
+            off += b
+            left -= b
 
-        pending = None     # (batch, metas, u0s, v0s, m, c, dev_out, t0)
-        for batch in plan + [None]:
-            if batch is not None:
+        existing = self._existing_runs() if cfg.resume else None
+        if existing:
+            print(f"resume: found {len(existing)} archived runs for id "
+                  f"{self.run_id}")
+
+        pending = None     # (batch, base, metas, u0s, v0s, m, c, dev_out, t0)
+        for item in plan + [None]:
+            if item is not None:
+                batch, off = item
+                base = self.pid * cfg.num_runs + off
                 pad = (-batch) % quota    # sharded axis must divide mesh;
                 # pad by resampling, extras dropped when archiving. NB the
                 # pad runs consume sampler RNG draws, so for a fixed seed the
@@ -598,18 +655,26 @@ class Datagen:
                 # != 0; seeds are reproducible per (seed, mesh, batch_size),
                 # not portable across meshes.
                 metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
+                if (existing is not None
+                        and all(base + b in existing for b in range(batch))):
+                    # fully archived: the sampler draws above kept the RNG
+                    # stream aligned; nothing to evolve
+                    done += batch
+                    print(f"resume: runs {base}..{base + batch - 1} already "
+                          f"archived, skipping ({done}/{cfg.num_runs})")
+                    continue
                 t0 = time.time()
                 if cfg.family == "nlse":
                     dev_out = self._dispatch_nlse(u0s, m, c)
                 else:
                     dev_out = self._dispatch_realwave(u0s, v0s, m, c)
-                current = (batch, metas, u0s, v0s, m, c, dev_out, t0)
+                current = (batch, base, metas, u0s, v0s, m, c, dev_out, t0)
             else:
                 current = None
             if pending is None:
                 pending = current
                 continue
-            batch, metas, u0s, v0s, m, c, dev_out, t0 = pending
+            batch, base, metas, u0s, v0s, m, c, dev_out, t0 = pending
             if cfg.family == "nlse":
                 u_traj, bad_at, series = self._fetch_nlse(dev_out)
                 v_traj = None
@@ -623,7 +688,7 @@ class Datagen:
                 # globally unique run index: host-major blocks, so a sweep's
                 # archive is the union of every host's hdf5/ dir (per-host
                 # shard writing — no cross-host IO)
-                idx = self.pid * cfg.num_runs + done + b
+                idx = base + b
                 if bad_at is not None and bad_at[b] < cfg.snapshots:
                     # flagged ON DEVICE by the in-loop guard; the batch may
                     # have early-exited, so later snapshots can be zeros —

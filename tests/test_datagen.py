@@ -140,6 +140,35 @@ def test_datagen_nlse_end_to_end(tmp_path):
     assert (tmp_path / f"params_{out['metadata']['run_id']}.txt").exists()
 
 
+def test_datagen_resume(tmp_path):
+    """Sweep resume: a relaunch skips fully-archived batches, re-evolves
+    batches with missing runs, and produces byte-identical trajectories to
+    an uninterrupted sweep (the sampler RNG stream stays aligned because
+    skipped batches still consume their draws)."""
+    mk = lambda: DatagenConfig(
+        family="nlse", phenomenon="multi_soliton", system="cubic",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=4, batch_size=2,
+        krylov_m=6, seed=77, output_dir=str(tmp_path), resume=True)
+    paths = Datagen(mk()).run()
+    assert len(paths) == 4
+    ref = {p.name: io_hdf5.load_run(p)["u"] for p in paths}
+
+    # simulate a crash that lost the second batch (runs 2, 3)
+    paths[2].unlink()
+    kept_mtime = paths[0].stat().st_mtime_ns
+    new_paths = Datagen(mk()).run()
+    # only the damaged batch re-evolved and re-archived
+    assert sorted(p.name for p in new_paths) == [paths[2].name,
+                                                 paths[3].name]
+    assert paths[0].stat().st_mtime_ns == kept_mtime  # untouched
+    for p in paths:
+        np.testing.assert_array_equal(io_hdf5.load_run(p)["u"],
+                                      ref[p.name])
+
+    # a third launch with everything present evolves nothing
+    assert Datagen(mk()).run() == []
+
+
 def test_datagen_realwave_end_to_end(tmp_path):
     cfg = DatagenConfig(
         family="realwave", phenomenon="kink_field", system="sine_gordon",

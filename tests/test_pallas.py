@@ -188,8 +188,21 @@ def test_vmapped_pallas_dispatch(interp_mode):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.fixture(params=[(True, False), (True, True), (False, False)],
+                ids=["ytile2p", "ytilepipe", "rowtile2p"])
+def pipeline3d_mode(request):
+    """Pin the 3D parity tests under all three unsharded-3D kernel paths:
+    the y-slab two-pass (production default), the y-slab single-pass pipe
+    (opt-in), and the row-tiled two-pass (fallback for shapes where the
+    y-slab blocks don't fit VMEM) — ops/pallas/lanczos3d_pipe.py."""
+    old = (config.pallas_ytile_3d, config.pallas_pipeline_3d)
+    config.pallas_ytile_3d, config.pallas_pipeline_3d = request.param
+    yield request.param
+    config.pallas_ytile_3d, config.pallas_pipeline_3d = old
+
+
 @pytest.mark.parametrize("variant", ["reference", "clean"])
-def test_3d_expm_matches_xla(variant):
+def test_3d_expm_matches_xla(variant, pipeline3d_mode):
     nz = ny = 16
     nx, m = 128, 8
     dx = 0.1
@@ -210,7 +223,7 @@ def test_3d_expm_matches_xla(variant):
                                rtol=2e-4, atol=2e-5)
 
 
-def test_3d_realwave_matches_xla():
+def test_3d_realwave_matches_xla(pipeline3d_mode):
     nz = ny = 16
     nx, m = 128, 10
     dx = 0.1
@@ -255,7 +268,7 @@ def test_fused_iter_kernel_matches(monkeypatch):
 
 
 @pytest.mark.parametrize("variant", ["reference", "clean"])
-def test_aniso_3d_expm_matches_xla(variant):
+def test_aniso_3d_expm_matches_xla(variant, pipeline3d_mode):
     nz = ny = 16
     nx, m = 128, 8
     dx = 0.1
