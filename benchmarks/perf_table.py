@@ -17,8 +17,10 @@ column = prod(shape)*4; halo rows are O(nx) and ignored):
     pipe iter j<m-2:     (j+4) sc  (+~3 wc aniso: wx, wy, wy-halo)
     last iter (j=m-2):   (m+1) sc
     combine (k specs):   m sc read once (XLA fuses chains) + k sc written
-* two-pass 3D Lanczos (_pass1_call/_pass2_call):
-    pass1(j): (j+2) sc + 2 sc z-streams (+4 wc aniso3d: wx, wym, wz, wz_up)
+* two-pass 3D Lanczos (y-slab pass1, lanczos3d_pipe._pass1y_call +
+  lanczos2d._pass2_call):
+    pass1(j): (j+2) sc — the z-stencil is internal to the y-slab blocks
+              (+3 wc aniso3d: wx, wy, wz)
     pass2(j): (j+3) sc
     combine as above.
 * SS2 step: 1 matfunc + 2 pointwise phases (2 sc + 1 wc each).
@@ -160,7 +162,7 @@ def main():
         bs = ss2_bytes(shape, m_kry, mode)
         emit(name, shape, med, rates, bs)
 
-    def sg_row(name, shape, mode):
+    def sg_row(name, shape, mode, chunk=2000):
         Lx = 10.0
         x = [np.linspace(-Lx, Lx, n, dtype=np.float32) for n in shape]
         mesh = np.meshgrid(*x, indexing="ij")
@@ -171,7 +173,7 @@ def main():
                                          m_field=mf, integrator="gautschi",
                                          krylov_m=m_kry, dtype=jnp.float32)
         state = prob.init(jnp.asarray(u0), jnp.asarray(v0))
-        rates, _ = time_chunk(prob.step, state, 2000, args.repeats,
+        rates, _ = time_chunk(prob.step, state, chunk, args.repeats,
                               lambda s: np.asarray(s[0]))
         med = float(np.median(rates))
         emit(name, shape, med, rates, gautschi_bytes(shape, m_kry, mode))
@@ -229,6 +231,14 @@ def main():
         nlse_row("nlse3d_128_ss2_aniso", (128, 128, 128), "aniso3d", c=c3)
     if "shard3d" in rows:
         shard3d_row("nlse3d_128_ss2_sharded_1shard", (128, 128, 128))
+    if "sg3d" in rows:
+        sg_row("sg3d_128_gautschi", (128, 128, 128), "iso3d", chunk=200)
+    if "iso3d_256" in rows:
+        # production-aspiration scale ("collect 2TB for 3d cases",
+        # final_todo.txt:36): 256^3 complex64 state = 134 MB, m=10 Krylov
+        # basis ~1.5 GB — single chip, fused row-tiled kernels (the y-slab
+        # blocks exceed the VMEM budget at this nz)
+        nlse_row("nlse3d_256_ss2", (256, 256, 256), "iso3d", chunk=50)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from jax import lax
 from nlsolvers_tpu.config import (default_complex_dtype, default_krylov_m,
                                   default_real_dtype, real_dtype_of)
 from nlsolvers_tpu.models import boussinesq as bq
+from nlsolvers_tpu.utils.complexio import stage_complex
 from nlsolvers_tpu.models import nlse as nlse_mod
 from nlsolvers_tpu.models import realwave as rw
 from nlsolvers_tpu.models.evolve import evolve
@@ -121,7 +122,7 @@ def _resident_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
         return lax.complex(out[0], out[1]).astype(dtype)
 
     def init(u0):
-        return jnp.asarray(u0, dtype)
+        return stage_complex(u0, dtype)
 
     return step, init, (lambda s: s)
 
@@ -192,7 +193,7 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
             return neumann(u)
 
         def init(u0):
-            return jnp.asarray(u0, dtype)
+            return stage_complex(u0, dtype)
 
         observe = lambda s: s
 
@@ -221,7 +222,7 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
             return neumann(u_new), u_prev_new
 
         def init(u0):
-            u0 = jnp.asarray(u0, dtype)
+            u0 = stage_complex(u0, dtype)
             return (u0, u0)
 
         observe = lambda s: s[0]
@@ -286,7 +287,7 @@ def realwave_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
         raise ValueError(f"unknown real-wave integrator {integrator!r}")
 
     def init(u0, v0=None):
-        u0 = jnp.asarray(u0, dtype)
+        u0 = stage_complex(u0, dtype)
         if v0 is None:
             v0 = jnp.zeros_like(u0)
         return (u0, u0 - dt * jnp.asarray(v0, dtype))
@@ -330,7 +331,7 @@ def stochastic_phi4_problem(shape, Lx, dt, *, m_field=None,
         return neumann(u_new), u_past_new
 
     def init(u0, v0=None):
-        u0 = jnp.asarray(u0, dtype)
+        u0 = stage_complex(u0, dtype)
         if v0 is None:
             v0 = jnp.zeros_like(u0)
         return (u0, u0 - dt * jnp.asarray(v0, dtype))
@@ -372,7 +373,7 @@ def boussinesq_problem(shape, Lx, dt, *, integrator="gautschi",
         raise ValueError(f"unknown Boussinesq integrator {integrator!r}")
 
     def init(u0, v0=None):
-        u0 = jnp.asarray(u0, dtype)
+        u0 = stage_complex(u0, dtype)
         if v0 is None:
             v0 = jnp.zeros_like(u0)
         return (u0, u0 - dt * jnp.asarray(v0, dtype))

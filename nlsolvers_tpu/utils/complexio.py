@@ -11,7 +11,23 @@ reshapes, so the same entry points work everywhere.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pack_complex", "unpack_complex", "pack_tree", "unpack_tree"]
+__all__ = ["pack_complex", "unpack_complex", "pack_tree", "unpack_tree",
+           "stage_complex"]
+
+
+def stage_complex(x, dtype):
+    """`jnp.asarray(x, dtype)` that also works for HOST complex arrays on
+    backends that cannot transfer complex (axon): the real and imaginary
+    parts cross the boundary as separate real transfers and recombine on
+    device. Device arrays and real targets pass straight through."""
+    import numpy as np
+
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        rdtype = np.empty((), dtype).real.dtype
+        re = jnp.asarray(np.ascontiguousarray(x.real), rdtype)
+        im = jnp.asarray(np.ascontiguousarray(x.imag), rdtype)
+        return jax.lax.complex(re, im).astype(dtype)
+    return jnp.asarray(x, dtype)
 
 
 def pack_complex(z):

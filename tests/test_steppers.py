@@ -299,3 +299,24 @@ def test_nlse_radiating_bc_stability_smoke():
     assert np.isfinite(traj.view(np.float64)).all()
     mass = np.sum(np.abs(traj) ** 2, axis=(1, 2))
     assert mass[-1] <= mass[0] * 1.02, mass
+
+
+def test_stage_complex_host_arrays():
+    """Problem.init stages HOST complex numpy arrays as split real/imag
+    transfers (utils.complexio.stage_complex) — the axon TPU backend cannot
+    transfer complex arrays, so the README Quickstart's `prob.init(u0)` with
+    a numpy complex IC must not rely on a complex host->device copy."""
+    from nlsolvers_tpu.utils.complexio import stage_complex
+
+    rng = np.random.default_rng(0)
+    z = (rng.standard_normal((8, 8)) + 1j * rng.standard_normal((8, 8)))
+    out = stage_complex(z, jnp.complex64)
+    assert out.dtype == jnp.complex64
+    np.testing.assert_allclose(np.asarray(out), z.astype(np.complex64))
+    # real arrays and real targets pass straight through
+    r = rng.standard_normal((4, 4)).astype(np.float32)
+    out_r = stage_complex(r, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(out_r), r)
+    # device arrays too
+    out_d = stage_complex(out, jnp.complex64)
+    np.testing.assert_array_equal(np.asarray(out_d), np.asarray(out))
