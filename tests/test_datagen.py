@@ -550,6 +550,30 @@ def test_archive_npy_format(tmp_path):
         np.testing.assert_array_equal(u, f["u"][()])
 
 
+def test_datagen_resume_npy_format(tmp_path):
+    """Resume over the npy archive format: completeness is judged by the
+    JSON sidecar plus a loadable trajectory header (the native writer
+    flushes asynchronously, so the sidecar alone is not proof)."""
+    mk = lambda: DatagenConfig(
+        family="realwave", phenomenon="kink_field", system="sine_gordon",
+        nx=N, Lx=LX, T=0.01, nt=10, snapshots=3, num_runs=2, batch_size=1,
+        krylov_m=6, integrator="sv", seed=9, output_dir=str(tmp_path),
+        archive_format="npy", resume=True)
+    written = Datagen(mk()).run()
+    assert len(written) == 2
+
+    # corrupt run 1's trajectory: its batch must re-evolve even though the
+    # sidecar survived
+    base1 = written[1].with_suffix("")
+    (base1.parent / f"{base1.name}_u.npy").write_bytes(b"not an npy")
+    again = Datagen(mk()).run()
+    assert [p.name for p in again] == [written[1].name]
+    u = np.load(f"{base1}_u.npy")
+    assert u.shape == (3, N, N) and np.isfinite(u).all()
+    # everything present -> nothing re-evolves
+    assert Datagen(mk()).run() == []
+
+
 def test_cli_radiating_bc(tmp_path):
     """--bc radiating routes the engine through the radiating envelope BC
     (boundaries.hpp:59-121) end to end."""
