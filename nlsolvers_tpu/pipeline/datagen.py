@@ -130,10 +130,14 @@ class DatagenConfig:
     #                                  (crash mid-write, or runs skipped by
     #                                  the stability guard) re-evolve whole;
     #                                  guard-skipped runs deterministically
-    #                                  diverge and are skipped again. The
-    #                                  reference has no resume at all — a
-    #                                  dead SLURM task re-runs from scratch
-    #                                  (SURVEY.md §5 checkpoint/resume).
+    #                                  diverge and are skipped again.
+    #                                  Multi-host: the skip decision is
+    #                                  collective per batch round (allgather
+    #                                  + AND), since a round is one global
+    #                                  dispatch over the mesh. The reference
+    #                                  has no resume at all — a dead SLURM
+    #                                  task re-runs from scratch (SURVEY.md
+    #                                  §5 checkpoint/resume).
 
     def __post_init__(self):
         assert self.family in ("nlse", "realwave")
@@ -642,9 +646,23 @@ class Datagen:
         if existing:
             print(f"resume: found {len(existing)} archived runs for id "
                   f"{self.run_id}")
+        skip_round = None
+        if existing is not None:
+            skip_round = [all(self.pid * cfg.num_runs + off + b in existing
+                              for b in range(bsz)) for bsz, off in plan]
+            if self.nproc > 1:
+                # A batch round is ONE global dispatch over the multi-host
+                # mesh — every host must participate or none (a lone host
+                # skipping deadlocks the collectives). Skip a round only if
+                # EVERY host has it fully archived.
+                from jax.experimental import multihost_utils
+                allv = multihost_utils.process_allgather(
+                    np.asarray(skip_round, np.bool_))
+                skip_round = list(np.all(np.asarray(allv).reshape(
+                    self.nproc, len(plan)), axis=0))
 
         pending = None     # (batch, base, metas, u0s, v0s, m, c, dev_out, t0)
-        for item in plan + [None]:
+        for k, item in enumerate(plan + [None]):
             if item is not None:
                 batch, off = item
                 base = self.pid * cfg.num_runs + off
@@ -655,10 +673,10 @@ class Datagen:
                 # != 0; seeds are reproducible per (seed, mesh, batch_size),
                 # not portable across meshes.
                 metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
-                if (existing is not None
-                        and all(base + b in existing for b in range(batch))):
-                    # fully archived: the sampler draws above kept the RNG
-                    # stream aligned; nothing to evolve
+                if skip_round is not None and skip_round[k]:
+                    # fully archived (on EVERY host when multi-host): the
+                    # sampler draws above kept the RNG stream aligned;
+                    # nothing to evolve
                     done += batch
                     print(f"resume: runs {base}..{base + batch - 1} already "
                           f"archived, skipping ({done}/{cfg.num_runs})")

@@ -44,6 +44,7 @@ def main():
                     help="e.g. '1,2': grid-shard each trajectory over the "
                          "host's local devices (batch axis spans hosts)")
     ap.add_argument("--record-energy", action="store_true")
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
 
     os.environ["XLA_FLAGS"] = (
@@ -86,7 +87,7 @@ def main():
         num_runs=args.num_runs, batch_size=args.batch_size,
         krylov_m=args.krylov_m, seed=args.seed, output_dir=args.outdir,
         mesh=mesh, shard_grid=shard_grid,
-        record_energy=args.record_energy)
+        record_energy=args.record_energy, resume=args.resume)
     t0 = time.time()
     written = Datagen(cfg).run()
     elapsed = time.time() - t0

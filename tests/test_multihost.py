@@ -159,3 +159,33 @@ def test_cluster_trajectory_matches_single_process(cluster_run):
                               max(1, nt // 4)))[0]
         ref = out[:, 0] + 1j * out[:, 1]
         np.testing.assert_allclose(u, ref, rtol=0, atol=5e-5)
+
+
+def test_cluster_resume(tmp_path):
+    """Multi-host sweep resume: each host skips its own already-archived
+    batches (host-major index blocks), re-evolving only damaged runs — a
+    dead host of the farm restarts without redoing the cluster's work
+    (the reference MPI farm re-runs from scratch, submit_nlse.py)."""
+    extra = ["--family", "nlse", "--system", "cubic",
+             "--phenomenon", "multi_soliton", "--num-runs", "2",
+             "--batch-size", "1", "--nx", "32", "--nt", "10",
+             "--snapshots", "4", "--krylov-m", "6", "--seed", "21",
+             "--resume"]
+    _launch_cluster(2, tmp_path, extra=extra)
+    files = sorted((tmp_path / "hdf5").glob("run_*.h5"))
+    assert len(files) == 4
+
+    victim = [f for f in files if f.stem.endswith("_0003")][0]
+    victim.unlink()
+    mtimes = {f.name: f.stat().st_mtime_ns for f in files if f.exists()}
+    r2 = _launch_cluster(2, tmp_path, extra=extra)
+    # the skip decision is COLLECTIVE (a batch round is one global dispatch
+    # — a lone host skipping would deadlock the mesh collectives), so BOTH
+    # hosts re-evolve the damaged round: host 0 re-archives its run 1,
+    # host 1 its run 3; round 0 (runs 0 and 2) is untouched on both.
+    assert [len(r["written"]) for r in r2] == [1, 1]
+    assert Path(r2[1]["written"][0]).name == victim.name
+    redone = {Path(w).name for r in r2 for w in r["written"]}
+    for f in (tmp_path / "hdf5").glob("run_*.h5"):
+        if f.name in mtimes and f.name not in redone:
+            assert f.stat().st_mtime_ns == mtimes[f.name], f.name
