@@ -526,3 +526,17 @@ def test_engine_realwave_gautschi_fused_dispatch(interp_mode):
                                          dtype=jnp.float32, use_c=False)
     ref = np.asarray(fn_ref(u0, v0, m, None, 2, 2)[0])
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_pick_ty3d_production_shapes():
+    """The y-slab pass1 must engage (ty >= 8) at the benchmarked 3D
+    operating points and reject shapes whose blocks exceed the VMEM budget
+    (those take the row-tiled kernels) — this dispatch IS the measured 13%
+    3D speedup, so pin it."""
+    from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import pick_ty3d
+
+    assert pick_ty3d(128, 128, 128, 8, 2, 0) >= 8      # 128^3 iso, m=10
+    assert pick_ty3d(128, 128, 128, 8, 2, 4) >= 8      # 128^3 aniso
+    assert pick_ty3d(128, 128, 128, 8, 1, 0) >= 8      # real fields (SG)
+    assert pick_ty3d(64, 64, 128, 8, 2, 0) >= 8
+    assert pick_ty3d(256, 256, 256, 8, 2, 0) == 0      # 256^3: row-tiled
