@@ -1299,6 +1299,16 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         return _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode,
                              op_args, extra_ops, safe_inv, n_op, interpret)
 
+    if (_cfg.pallas_pipeline and _cfg.pallas_ytile_3d and m > 1
+            and axis_names and kind == "shard3d"):
+        from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
+            lanczos_twopass3d_y_sharded, pick_ty3d)
+        # hc/diag/z-slab streams ~ 3 extra block-equivalents
+        if pick_ty3d(desc["lnz"], desc["lny"], nx, max(m - 2, 0), P, 3) >= 8:
+            return lanczos_twopass3d_y_sharded(u, m, P, ny, nx, scale, sign,
+                                               variant, desc, safe_inv,
+                                               interpret, axis_names)
+
     if (_cfg.pallas_pipeline and _cfg.pallas_ytile_3d and not fused_iter
             and m > 1 and not axis_names and mode in ("iso3d", "aniso3d")):
         from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (

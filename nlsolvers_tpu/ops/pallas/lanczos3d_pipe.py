@@ -321,6 +321,175 @@ def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
     return W, s, alphas, betas, beta0
 
 
+def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
+    """Sharded y-slab pass1 (7-point iso Laplacian on a SHARDED 3D grid):
+    w = s_j·A(W_j) − bs·W_{j-1} fused with the shard-local projection dots
+    (the caller psums them).
+
+    All boundary/seam structure lives in jnp-side data, so the kernel has
+    NO masks: `diag` is the per-cell variant diagonal from global
+    coordinates, the y-halo slabs carry ppermute'd ay rows (or the
+    reference variant's seam rows) with zeros at true domain edges, `hc`
+    the ppermute'd x columns, and `zht`/`zhb` the ppermute'd z-neighbor
+    planes that replace the unsharded kernel's zero planes. Parity target:
+    laplacians.hpp:105-156 via parallel/spatial.sharded_laplacian_3d.
+
+    Inputs: scal (1,2) SMEM [s_j, bs], W_j block (P, lnz, ty, nx), halo
+    slabs (P, lnz, nblk, 2, nx), hc x-columns (P, lnz, ty, 2), diag
+    (1, lnz, ty, nx), zht/zhb z-halo planes (P, 1, ty, nx slices of the
+    (P, 1, lny, nx) slabs), W_0..W_{j-1} blocks. Outputs: w, raw SMEM.
+    """
+    nblk = lny // ty
+    grid = (nblk,)
+    blk = (P, lnz, ty, nx)
+
+    def kernel(scal, u_ref, h_ref, hc_ref, diag_ref, zht_ref, zhb_ref,
+               *rest):
+        wrefs = rest[:j]
+        w_out, raw_out = rest[j], rest[j + 1]
+        u = u_ref[...]
+        h = h_ref[...]
+        up = h[:, :, 0, 0, :][:, :, None, :]
+        dn = h[:, :, 0, 1, :][:, :, None, :]
+        hc = hc_ref[...]
+        left = jnp.concatenate([hc[..., 0:1], u[..., :-1]], axis=3)
+        right = jnp.concatenate([u[..., 1:], hc[..., 1:2]], axis=3)
+        above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+        below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+        z_above = jnp.concatenate([zht_ref[...], u[:, :-1]], axis=1)
+        z_below = jnp.concatenate([u[:, 1:], zhb_ref[...]], axis=1)
+        nb = above + below + z_above + z_below + left + right
+        av = (nb + diag_ref[...] * u) * (scale * sign)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = u if idx == j else wrefs[idx][...]
+            re, im = _dots4(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    center = lambda i: (0, 0, i, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec,
+        pl.BlockSpec((P, lnz, 1, 2, nx), lambda i: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, lnz, ty, 2), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lnz, ty, nx), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 1, ty, nx), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 1, ty, nx), center, memory_space=pltpu.VMEM),
+    ] + [blkspec for _ in range(j)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, lnz, lny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 5, lnz * ty, nx, P),
+        interpret=interpret,
+    )
+
+
+def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
+                                desc, safe_inv, interpret, axis_names):
+    """Two-pass Lanczos on a SHARDED 3D grid with the y-slab pass1
+    (`_pass1y_shard_call`): per-shard y-slab blocks, ppermute'd halos, and
+    psum'd reductions — the sharded analogue of `lanczos_twopass3d_y`.
+    Iso 7-point operator only (shard3d descriptors); the anisotropic
+    sharded operator keeps the row-tiled kernels.
+    """
+    from nlsolvers_tpu.ops.pallas.lanczos2d import (_pass2_call,
+                                                    _recv_from_next,
+                                                    _recv_from_prev)
+
+    az, ay, ax = desc["az"], desc["ay"], desc["ax"]
+    NZ, NY, NX = desc["NZ"], desc["NY"], desc["NX"]
+    lnz, lny = desc["lnz"], desc["lny"]
+    as4 = lambda a: a.reshape(P, lnz, lny, nx)
+
+    # per-cell variant diagonal from GLOBAL coordinates (unscaled)
+    shp = (lnz, lny, nx)
+    gz = lax.axis_index(az) * lnz + lax.broadcasted_iota(jnp.int32, shp, 0)
+    gy = lax.axis_index(ay) * lny + lax.broadcasted_iota(jnp.int32, shp, 1)
+    gx = lax.axis_index(ax) * nx + lax.broadcasted_iota(jnp.int32, shp, 2)
+    if variant == "reference":
+        bnd = ((gz == 0) | (gz == NZ - 1) | (gy == 0) | (gy == NY - 1)
+               | (gx == 0) | (gx == NX - 1))
+        diag = jnp.where(bnd, -5.0, -6.0).astype(jnp.float32)
+    else:
+        nnb = (6.0 - (gz == 0) - (gz == NZ - 1) - (gy == 0)
+               - (gy == NY - 1) - (gx == 0) - (gx == NX - 1))
+        diag = (-nnb).astype(jnp.float32)
+    diag = diag[None]                                  # (1, lnz, lny, nx)
+
+    def gsum(x):
+        return lax.psum(x, axis_names)
+
+    def shard_halos(wj, ty):
+        w4 = as4(wj)
+        if variant == "reference":
+            # only legal with unsplit z/y (supported_desc): the seam rows
+            # come from the local field, the ay/az ppermutes would yield
+            # zeros — identical to the unsharded gather
+            h = gather_y_halos(w4, ty, "reference")
+        else:
+            h = gather_y_halos(w4, ty, "clean")        # zeros at local edges
+            ytop = _recv_from_prev(w4[:, :, -1, :], ay)   # (P, lnz, nx)
+            ybot = _recv_from_next(w4[:, :, 0, :], ay)
+            h = h.at[:, :, 0, 0, :].set(ytop)
+            h = h.at[:, :, lny // ty - 1, 1, :].set(ybot)
+        lcol = _recv_from_prev(wj[:, :, -1:], ax)      # (P, R, 1)
+        rcol = _recv_from_next(wj[:, :, :1], ax)
+        hc = jnp.concatenate([lcol, rcol],
+                             axis=2).reshape(P, lnz, lny, 2)
+        zht = _recv_from_prev(w4[:, -1, :, :], az)[:, None]   # (P,1,lny,nx)
+        zhb = _recv_from_next(w4[:, 0, :, :], az)[:, None]
+        return h, hc, zht, zhb
+
+    beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
+    W = [u]
+    s = [safe_inv(beta0)]
+    alphas, betas = [], []
+    for j in range(m - 1):
+        ty = pick_ty3d(lnz, lny, nx, j, P, 3)   # hc/diag/z-slabs ~ 3 extra
+        bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
+        scal = jnp.stack([s[j].astype(jnp.float32),
+                          bs.astype(jnp.float32)]).reshape(1, 2)
+        h, hc, zht, zhb = shard_halos(W[j], ty)
+        w, raw = _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign,
+                                    interpret)(
+            scal, as4(W[j]), h, hc, diag, zht, zhb, *(as4(a) for a in W[:j]))
+        w = w.reshape(P, R, nx)
+        raw = gsum(raw)
+        sv = jnp.stack([si.astype(jnp.float32) for si in s])     # (j+1,)
+        proj = sv[:, None] * raw
+        alphas.append(proj[j, 0])
+        q = sv[:, None] * proj
+        tile2 = _pick_tile(R, nx, j + 4, nplanes=P)
+        wn, nsq = _pass2_call(j, P, R, nx, tile2, interpret)(
+            q, w, *W[:j + 1])
+        b = jnp.sqrt(gsum(nsq[0, 0]))
+        W.append(wn)
+        s.append(safe_inv(b))
+        betas.append(b)
+    return W, s, alphas, betas, beta0
+
+
 def _pipe3d_call(j, P, nz, ny, nx, ty, scale, sign, variant, interpret,
                  mode):
     """ONE-kernel pipelined 3D Lanczos iteration on y-slab blocks:

@@ -367,10 +367,22 @@ def test_sharded_aniso_fused_matches_xla(interp_mode):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
 
 
-def test_sharded_3d_fused_matches_xla(interp_mode):
+@pytest.fixture(params=[True, False], ids=["yslab", "rowtile"])
+def shard_ytile_mode(request):
+    """Pin the sharded-3D parity tests under both the sharded y-slab pass1
+    (lanczos3d_pipe._pass1y_shard_call, the default when the local blocks
+    fit) and the row-tiled shard3d kernels."""
+    old = config.pallas_ytile_3d
+    config.pallas_ytile_3d = request.param
+    yield request.param
+    config.pallas_ytile_3d = old
+
+
+def test_sharded_3d_fused_matches_xla(interp_mode, shard_ytile_mode):
     # 32x32x256 over a (2,2,2) mesh: local (16,16,128) blocks are
-    # lane-aligned, so the shard3d fused kernels engage (merged-row stencil,
-    # ppermute'd y/z-plane halos, psum'd dots). VERDICT r2 missing #3.
+    # lane-aligned, so the shard3d fused kernels engage (y-slab or
+    # merged-row stencil, ppermute'd y/z-plane halos, psum'd dots).
+    # VERDICT r2 missing #3.
     from jax.sharding import Mesh
     from nlsolvers_tpu.parallel import spatial
 
@@ -424,7 +436,7 @@ def test_sharded_3d_aniso_fused_matches_xla(interp_mode):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
 
 
-def test_sharded_3d_reference_variant_x_only(interp_mode):
+def test_sharded_3d_reference_variant_x_only(interp_mode, shard_ytile_mode):
     # variant="reference" keeps the merged y-seam coupling
     # (laplacians.hpp:140), legal only with unsplit z/y — shard x over all
     # 8 devices and check the fused path against the XLA sharded path.
