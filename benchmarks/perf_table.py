@@ -62,14 +62,20 @@ def lanczos_bytes(shape, m, planes, mode, n_specs=1):
                 if mode == "aniso2d":
                     total += 3 * wc
     else:                                                 # two-pass 3D
-        # y-slab pass1 (lanczos3d_pipe._pass1y_call, the default): the
-        # z-stencil is internal to the (P, nz, ty, nx) blocks, so pass1
-        # streams j+2 columns (no z-offset re-fetches of W_j); the
-        # row-tiled fallback adds 2 more (+" + z streams").
+        # Mirror lanczos_planar's dispatch: pass1 is the y-slab kernel
+        # (j+2 streams, 3 aniso weight cols — z-stencil internal to the
+        # (P, nz, ty, nx) blocks) only when pick_ty3d accepts the shape;
+        # otherwise the row-tiled kernels run (2 extra z-offset streams of
+        # W_j; aniso reads 4 full weight cols — wx, wy, wz at two z
+        # offsets; the wy halo rows are O(nx) and ignored as elsewhere).
+        from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import pick_ty3d
+        nop_pipe = 0 if mode == "iso3d" else 4
+        yslab = pick_ty3d(shape[0], shape[1], shape[2], max(m - 2, 0),
+                          planes, nop_pipe) >= 8
         for j in range(m - 1):
-            total += (j + 2) * sc                         # pass1 (y-slab)
+            total += (j + 2 + (0 if yslab else 2)) * sc   # pass1
             if mode == "aniso3d":
-                total += 3 * wc                           # wx, wy, wz
+                total += (3 if yslab else 4) * wc
             total += (j + 3) * sc                         # pass2
     total += m * sc + n_specs * sc                        # combine
     return total

@@ -36,6 +36,8 @@ DRIVERS = [
     "nlse_cubic_driver_3d", "kg_driver_3d",
     "nlse_cubic_gautschi_driver", "nlse_cubic_quintic_gautschi_driver",
     "nlse_saturating_gautschi_driver", "bouss_driver",
+    "nlse_cubic_gautschi_driver_3d", "kg_sv_driver_3d",
+    "sg_sv_variants_driver",
 ]
 
 
@@ -61,6 +63,21 @@ def _patched_saturating_src():
     return out
 
 
+def _patched_double_sv_header():
+    """sg_double_sv_solver.hpp as shipped reads `buf2` inside buf2's own
+    initializer (UB — the unaryExpr runs over a not-yet-constructed vector).
+    Every sibling SV solver applies the nonlinearity to `u`
+    (sg_single_sv_solver.hpp:13-14, kg_sv_solver.hpp:16) and the Gautschi
+    double-SG uses the same sin(x)+0.6*sin(2x) on u (sg_double_solver.hpp:18),
+    so the build shim substitutes `u.unaryExpr` — the evident intent. See
+    golden/src/sg_sv_variants_driver.cpp."""
+    src = (REF / "host/include/sg_double_sv_solver.hpp").read_text()
+    patched = src.replace("buf2.unaryExpr", "u.unaryExpr")
+    assert patched != src, "reference header changed; re-check the shim"
+    out = HERE / "src" / "sg_double_sv_solver_patched.hpp"
+    out.write_text(patched)
+
+
 def build(driver, force=False):
     exe = BIN / driver
     if exe.exists() and not force:
@@ -76,6 +93,13 @@ def build(driver, force=False):
     elif driver == "nlse_saturating_gautschi_driver":
         src = _patched_saturating_src()
         incs += [f"-I{REF}/common/include", f"-I{REF}/host/include"]
+    elif driver == "sg_sv_variants_driver":
+        # wrapper main for the driver-less double/hyperbolic SV headers;
+        # golden/src first so the patched double-SV header wins
+        _patched_double_sv_header()
+        src = HERE / "src/sg_sv_variants_driver.cpp"
+        incs = [f"-I{HERE}/src"] + incs + [f"-I{REF}/common/include",
+                                           f"-I{REF}/host/include"]
     else:
         src = REF / "host/drivers" / f"{driver}.cpp"
         incs += [f"-I{REF}/common/include", f"-I{REF}/host/include"]
@@ -307,6 +331,21 @@ def cases():
                         nt=NT2, num_snapshots=SNAP2, krylov_m=10, mode=mode),
         )
 
+    # Driver-less SV variants via the wrapper main (sg_sv_variants_driver.cpp;
+    # the double-SG header is build-shimmed, see _patched_double_sv_header)
+    for mode, ickind in (("double", "double"), ("hyperbolic", "hyperbolic")):
+        u, v, m = ic_realwave_2d(ickind)
+        all_cases[f"sg_{mode}_sv_2d"] = dict(
+            driver="sg_sv_variants_driver",
+            inputs=dict(u0=u, v0=v, m=m),
+            outputs=["traj", "vel"],
+            argv=lambda f, o, _m=mode: [N2, N2, LX2, LX2, f["u0"], f["v0"],
+                                        o["traj"], o["vel"], T2_WAVE, NT2,
+                                        SNAP2, f["m"], _m],
+            params=dict(kind=f"sg_{mode}_sv", nx=N2, Lx=LX2, T=T2_WAVE,
+                        nt=NT2, num_snapshots=SNAP2, krylov_m=10),
+        )
+
     u3, m3, c3 = ic_nlse_3d()
     all_cases["nlse_cubic_3d"] = dict(
         driver="nlse_cubic_driver_3d",
@@ -317,7 +356,31 @@ def cases():
         params=dict(kind="nlse_cubic_3d", nx=N3, Lx=LX3, T=T3_NLSE, nt=NT3,
                     num_snapshots=SNAP3, krylov_m=10),
     )
+    # 3D + complex + Gautschi bootstrap: the single most failure-prone
+    # combination (nlse_cubic_gautschi_driver_3d.cpp:126-146 — bootstrap is
+    # ONE SS2 step against the anisotropic L, then NLSECubicGautschiSolver
+    # two-step; NB the driver's dz uses Ly, immaterial here with Lx=Ly=Lz)
+    all_cases["nlse_cubic_gautschi_3d"] = dict(
+        driver="nlse_cubic_gautschi_driver_3d",
+        inputs=dict(u0=u3, m=m3, c=c3),
+        outputs=["traj"],
+        argv=lambda f, o: [N3, N3, N3, LX3, LX3, LX3, f["u0"], o["traj"],
+                           T3_NLSE, NT3, SNAP3, f["m"], f["c"]],
+        params=dict(kind="nlse_cubic_gautschi_3d", nx=N3, Lx=LX3, T=T3_NLSE,
+                    nt=NT3, num_snapshots=SNAP3, krylov_m=10),
+    )
+
     uk, vk, mk, ck = ic_kg_3d()
+    all_cases["kg_sv_3d"] = dict(
+        driver="kg_sv_driver_3d",
+        inputs=dict(u0=uk, v0=vk, m=mk, c=ck),
+        outputs=["traj", "vel"],
+        argv=lambda f, o: [N3, N3, N3, LX3, LX3, LX3, f["u0"], f["v0"],
+                           o["traj"], o["vel"], T3_WAVE, NT3, SNAP3,
+                           f["m"], f["c"]],
+        params=dict(kind="kg_sv_3d", nx=N3, Lx=LX3, T=T3_WAVE, nt=NT3,
+                    num_snapshots=SNAP3, krylov_m=10),
+    )
     all_cases["kg_gautschi_3d"] = dict(
         driver="kg_driver_3d",
         inputs=dict(u0=uk, v0=vk, m=mk, c=ck),

@@ -37,7 +37,7 @@ pallas_mode = "auto"
 # Applies to the unsharded 2D descriptors (iso + anisotropic).
 pallas_pipeline = True
 
-# Y-slab block geometry for UNSHARDED 3D fused Lanczos
+# Y-slab block geometry for 3D fused Lanczos (unsharded AND sharded-3D)
 # (ops/pallas/lanczos3d_pipe.py): blocks are (P, nz, ty, nx) — full
 # z-extent over a y-slab — so the z-stencil is internal (2 fewer streams,
 # no z-offset block fetches) and the grid is ny/ty fat programs instead

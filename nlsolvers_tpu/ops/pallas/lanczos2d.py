@@ -1299,7 +1299,11 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         return _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode,
                              op_args, extra_ops, safe_inv, n_op, interpret)
 
-    if (_cfg.pallas_pipeline and _cfg.pallas_ytile_3d and m > 1
+    # 3D y-slab branches gate on pallas_ytile_3d ALONE: pallas_pipeline is
+    # the 2D pipeline switch (config.py) and must not silently demote the 3D
+    # paths to row-tiled kernels ("Off -> the original row-tiled kernels"
+    # refers to pallas_ytile_3d itself).
+    if (_cfg.pallas_ytile_3d and m > 1
             and axis_names and kind == "shard3d"):
         from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
             lanczos_twopass3d_y_sharded, pick_ty3d)
@@ -1309,7 +1313,7 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
                                                variant, desc, safe_inv,
                                                interpret, axis_names)
 
-    if (_cfg.pallas_pipeline and _cfg.pallas_ytile_3d and not fused_iter
+    if (_cfg.pallas_ytile_3d and not fused_iter
             and m > 1 and not axis_names and mode in ("iso3d", "aniso3d")):
         from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
             lanczos_pipe3d, lanczos_twopass3d_y, pick_ty3d)

@@ -191,18 +191,24 @@ class Datagen:
         # samples and archives only its own shard (parallel/distributed.py).
         self.nproc = jax.process_count()
         self.pid = jax.process_index()
+        # Deterministic ids carry a config digest: two sweeps sharing a seed
+        # but differing in physics/grid/format must not alias in one
+        # output_dir, or resume would silently skip batches the second sweep
+        # never ran (the archived files would also be overwritten). The
+        # digest is derived from the config fields that determine what gets
+        # archived, so it is identical on every host.
+        det_id = f"{cfg.seed & 0xFFFFFFFF:08x}-{self._config_digest()}"
         if self.nproc > 1:
             # deterministic id shared by all hosts (no bcast needed — the
             # reference bcasts rank 0's run id, submit_nlse.py:96-102)
-            self.run_id = f"{cfg.seed & 0xFFFFFFFF:08x}"
+            self.run_id = det_id
             seed_seq = dist.process_seed(cfg.seed, self.pid)
             self.rng = np.random.default_rng(seed_seq)
             sampler_seed = int(seed_seq.generate_state(2)[1])
         else:
             # resumable sweeps need a relaunch-stable id; otherwise keep the
             # collision-free uuid (reruns into one dir never overwrite)
-            self.run_id = (f"{cfg.seed & 0xFFFFFFFF:08x}" if cfg.resume
-                           else str(uuid.uuid4())[:8])
+            self.run_id = det_id if cfg.resume else str(uuid.uuid4())[:8]
             self.rng = np.random.default_rng(cfg.seed)
             sampler_seed = cfg.seed
         self._sampler_seed = sampler_seed
@@ -316,6 +322,23 @@ class Datagen:
             integrator=cfg.integrator, krylov_m=cfg.krylov_m,
             dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
             guard=cfg.guard, record_energy=cfg.record_energy)
+
+    def _config_digest(self):
+        """8-hex digest of every config field that shapes the archived data
+        (grid/physics/sampling/format). Excludes runtime-only knobs (mesh
+        object, output_dir, resume, archive_async) so relaunches with the
+        same sweep definition keep the same id."""
+        import hashlib
+        cfg = self.cfg
+        keyed = {k: getattr(cfg, k) for k in (
+            "family", "phenomenon", "system", "dim", "nx", "Lx", "T", "nt",
+            "snapshots", "num_runs", "batch_size", "integrator",
+            "anisotropy_type", "m_type", "m0", "sigma1", "sigma2", "kappa",
+            "noise_strength", "krylov_m", "dtype", "variant", "dr_target",
+            "dr_strategy", "normalize_ic", "boundary", "guard",
+            "record_energy", "archive_format", "shard_grid")}
+        blob = json.dumps(keyed, sort_keys=True, default=str)
+        return hashlib.sha1(blob.encode()).hexdigest()[:8]
 
     def _space_for(self, family):
         cfg = self.cfg
@@ -593,13 +616,22 @@ class Datagen:
                 except (OSError, ValueError):
                     continue
         else:
+            # the sidecar is written after the array submissions, but the
+            # native writer flushes asynchronously — a crash while it drains
+            # can leave ANY companion array truncated with the sidecar
+            # intact. Require a loadable header on every array the config
+            # archives, not just u.
+            suffixes = ["u", "u0", "m", "c"]
+            if cfg.family == "realwave":
+                suffixes += ["v", "v0"]
+            if cfg.guard and cfg.record_energy:
+                suffixes.append("mass" if cfg.family == "nlse" else "energy")
             for p in self.h5_dir.glob(f"run_{self.run_id}_*.json"):
                 try:
                     idx = int(p.stem.rsplit("_", 1)[1])
-                    # the sidecar is written after the array submissions,
-                    # but the native writer flushes asynchronously — require
-                    # a loadable trajectory header too
-                    np.load(self.h5_dir / f"{p.stem}_u.npy", mmap_mode="r")
+                    for sfx in suffixes:
+                        np.load(self.h5_dir / f"{p.stem}_{sfx}.npy",
+                                mmap_mode="r")
                     found.add(idx)
                 except (OSError, ValueError):
                     continue
@@ -618,10 +650,45 @@ class Datagen:
         return written
 
     # -- the sweep ------------------------------------------------------
+    def _sweep_summary(self, stats):
+        """End-of-sweep farm summary. Multi-host: allgather every host's
+        (walltime, sample_s, evolve_s, archived, guard/resume skips) and
+        print ONE rank-0 line — parity with the reference MPI farm's gather
+        of per-rank walltimes to rank 0 (submit_nlse.py:129-134), which
+        per-host batch prints don't provide. Returns the summary string
+        (None on nonzero ranks)."""
+        local = np.asarray([stats[k] for k in (
+            "wall_s", "sample_s", "evolve_s", "archived", "guard_skipped",
+            "resume_skipped")], np.float64)
+        if self.nproc > 1:
+            from jax.experimental import multihost_utils
+            allv = np.asarray(multihost_utils.process_allgather(local))
+            allv = allv.reshape(self.nproc, local.size)
+        else:
+            allv = local[None]
+        if self.pid != 0:
+            return None
+        wall = allv[:, 0]
+        archived = int(allv[:, 3].sum())
+        total_runs = self.cfg.num_runs * self.nproc
+        line = (f"sweep summary [{self.run_id}]: {self.nproc} host(s), "
+                f"{archived}/{total_runs} runs archived "
+                f"({int(allv[:, 4].sum())} guard-skipped, "
+                f"{int(allv[:, 5].sum())} resume-skipped); "
+                f"wall/host min {wall.min():.2f}s max {wall.max():.2f}s "
+                f"(sample {allv[:, 1].sum():.2f}s, "
+                f"evolve {allv[:, 2].sum():.2f}s summed); "
+                f"{archived / max(wall.max(), 1e-9):.2f} runs/s aggregate")
+        print(line)
+        return line
+
     def run(self):
         cfg = self.cfg
         futures = []
         done = 0
+        stats = dict(wall_s=0.0, sample_s=0.0, evolve_s=0.0, archived=0,
+                     guard_skipped=0, resume_skipped=0)
+        t_sweep0 = time.time()
         # pad quota: the batch dim must divide the mesh's batch axis (grid
         # axes shard the grid, not the batch — no padding needed for them)
         mesh_n = (int(cfg.mesh.shape.get(cfg.batch_axis, 1))
@@ -672,12 +739,15 @@ class Datagen:
                 # archived ICs depend on mesh size whenever batch % mesh_n
                 # != 0; seeds are reproducible per (seed, mesh, batch_size),
                 # not portable across meshes.
+                ts0 = time.time()
                 metas, u0s, v0s, m, c = self._sample_batch(batch + pad)
+                stats["sample_s"] += time.time() - ts0
                 if skip_round is not None and skip_round[k]:
                     # fully archived (on EVERY host when multi-host): the
                     # sampler draws above kept the RNG stream aligned;
                     # nothing to evolve
                     done += batch
+                    stats["resume_skipped"] += batch
                     print(f"resume: runs {base}..{base + batch - 1} already "
                           f"archived, skipping ({done}/{cfg.num_runs})")
                     continue
@@ -701,6 +771,7 @@ class Datagen:
                     dev_out)
             walltime = time.time() - t0
             per_run = walltime / batch
+            stats["evolve_s"] += walltime
 
             for b in range(batch):
                 # globally unique run index: host-major blocks, so a sweep's
@@ -714,11 +785,14 @@ class Datagen:
                     print(f"run {idx}: non-finite at snapshot "
                           f"{int(bad_at[b])} (in-loop guard), skipping "
                           f"(phenomenon params {metas[b][0]})")
+                    stats["guard_skipped"] += 1
                     continue
                 if bad_at is None and not np.isfinite(u_traj[b]).all():
                     print(f"run {idx}: non-finite trajectory, skipping "
                           f"(phenomenon params {metas[b][0]})")
+                    stats["guard_skipped"] += 1
                     continue
+                stats["archived"] += 1
                 args = (idx, metas[b], u0s[b], v0s[b], m[b], c[b],
                         u_traj[b],
                         v_traj[b] if v_traj is not None else None,
@@ -738,4 +812,7 @@ class Datagen:
                   f"{walltime:.2f}s dispatch-to-fetch ({per_run:.2f}s/run, "
                   f"overlapped)")
             pending = current
-        return self._archive_flush(futures)
+        written = self._archive_flush(futures)
+        stats["wall_s"] = time.time() - t_sweep0
+        self.summary_line = self._sweep_summary(stats)
+        return written

@@ -247,6 +247,43 @@ def test_golden_nlse_gautschi(case, kind):
     _check(traj, d)
 
 
+def test_golden_nlse_cubic_gautschi_3d_anisotropic():
+    """3D + complex + Gautschi bootstrap — the most failure-prone untested
+    combination until round 4. Replays nlse_cubic_gautschi_driver_3d.cpp:
+    bootstrap is ONE SS2 step against the anisotropic complex L
+    (:126-131), then the NLSECubicGautschiSolver two-step (:138-141), BC
+    after every step."""
+    from jax import lax
+    from nlsolvers_tpu.models import nlse as nlse_mod
+
+    d = _load("nlse_cubic_gautschi_3d")
+    nt, snaps = int(d["nt"]), int(d["num_snapshots"])
+    dt = float(d["T"]) / nt
+    shape = d["u0"].shape
+    dx = 2.0 * float(d["Lx"]) / (shape[-1] - 1)
+    km = int(d["krylov_m"])
+    lap = ops.anisotropic_laplacian_3d(np.asarray(d["c"], np.float64), dx)
+    m = jnp.asarray(d["m"], jnp.float64)
+    rho = lambda u: m * (u.real**2 + u.imag**2)
+    bcf = bc.neumann_no_velocity_3d
+
+    def bootstrap(state):
+        u, u_prev = state
+        return bcf(nlse_mod.ss2_step(u, lap, rho, dt, m=km)), u_prev
+
+    def gautschi(state):
+        u, u_prev = state
+        un, up = nlse_mod.gautschi_step(u, u_prev, lap, rho, dt, m=km,
+                                        convention="cubic")
+        return bcf(un), up
+
+    prob = Problem(lambda s, i: lax.cond(i == 1, bootstrap, gautschi, s),
+                   lambda u0: (jnp.asarray(u0, jnp.complex128),) * 2,
+                   lambda s: s[0], {})
+    traj = run(prob, prob.init(d["u0"]), snaps, nt // snaps)
+    _check(traj, d, tol_last=1e-6)
+
+
 # ---------------------------------------------------------------- Boussinesq
 
 @pytest.mark.parametrize("mode", ["gautschi", "stiff"])
@@ -303,6 +340,11 @@ WAVE_CASES = [
     ("phi4_gautschi_2d", "phi4", "gautschi"),
     ("sg_double_gautschi_2d", "double_sine_gordon", "gautschi"),
     ("sg_hyperbolic_gautschi_2d", "hyperbolic_sine_gordon", "gautschi"),
+    # SV variants of the driver-less headers, via the wrapper main
+    # (golden/src/sg_sv_variants_driver.cpp; double-SG's self-referencing
+    # buf2 initializer is build-shimmed to the evident u.unaryExpr intent)
+    ("sg_double_sv_2d", "double_sine_gordon", "sv"),
+    ("sg_hyperbolic_sv_2d", "hyperbolic_sine_gordon", "sv"),
 ]
 
 
@@ -318,6 +360,22 @@ def test_golden_realwave_2d(case, kind, integ):
                          nt // snaps)
     _check(u_traj, d, "traj")
     # velocity = (u - u_past)/dt amplifies roundoff by 1/dt = 100x
+    _check(v_traj, d, "vel", tol_traj=5e-5, tol_last=1e-5)
+
+
+def test_golden_kg_sv_3d_anisotropic():
+    """vs kg_sv_driver_3d (KGESVSolver3d::step, kg_sv_solver_3d.hpp:12-21 —
+    same -m u^3 quirk as 2D, anisotropic c through L)."""
+    d = _load("kg_sv_3d")
+    nt, snaps = int(d["nt"]), int(d["num_snapshots"])
+    dt = float(d["T"]) / nt
+    prob = realwave_problem("klein_gordon", d["u0"].shape, float(d["Lx"]),
+                            dt, m_field=d["m"], c_field=d["c"],
+                            integrator="sv",
+                            krylov_m=int(d["krylov_m"]), dtype=jnp.float64)
+    u_traj, v_traj = run(prob, prob.init(d["u0"], d["v0"]), snaps,
+                         nt // snaps)
+    _check(u_traj, d, "traj")
     _check(v_traj, d, "vel", tol_traj=5e-5, tol_last=1e-5)
 
 
