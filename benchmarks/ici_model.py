@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Analytic ICI communication model for the spatially-sharded engine.
+
+Multi-chip hardware is not reachable from this environment (one tunneled
+chip), so the sharded engine's cross-chip cost is MODELED, not measured:
+this script counts the collectives the sharded Lanczos actually issues
+(from the code paths in parallel/spatial.py + ops/pallas/lanczos2d.py /
+lanczos3d_pipe.py), sizes their payloads, and combines them with public
+v5e ICI parameters to estimate the fraction of per-shard kernel speed that
+survives on a real mesh. Prints one JSON line per configuration.
+
+Collective census per sharded Lanczos iteration (deferred-norm CGS, the
+round-4 scheme — ONE psum per iteration):
+  shard2d : 2 ay-row ppermutes + 2 ax-col ppermutes + 1 psum   = 5
+  shard3d : 2 ay + 2 ax + 2 az ppermutes          + 1 psum     = 7
+plus ONE final psum per Lanczos run (last column's norm).
+The previous scheme needed 2 psums/iteration + an upfront beta0 psum; the
+deferred-norm rewrite halves the blocking-collective count.
+
+ICI parameters (public: v5e has 4 ICI ports/chip, 2D torus; per-link
+~186 GB/s bidirectional => ~45 GB/s per direction per exchange in the
+conservative single-link case; per-collective launch+hop latency ~2 us —
+jax-ml.github.io/scaling-book numbers rounded pessimistically).
+
+Per-shard compute baselines are MEASURED single-chip rows
+(benchmarks/results/perf_table_r03b_3d.jsonl and bench.py):
+  2D 1024^2 m=10 SS2: ~900 steps/s => ~105 us/iteration-pair full chip
+  3D 128^3 per-shard (the 256^3/2x2x2 operating point): 126 steps/s
+  => step 7.9 ms, ~0.72 matfunc fraction => ~630 us/iteration-pair.
+"""
+
+import argparse
+import json
+
+US = 1e-6
+
+
+def model(name, dim, local_shape, P, m, iter_us, bw_gbs, lat_us):
+    nx = local_shape[-1]
+    if dim == 2:
+        lny = local_shape[0]
+        # slabs: rows (P, nx), cols (P, lny); each direction pair = 2 sends
+        permute_bytes = 2 * (P * nx * 4) + 2 * (P * lny * 4)
+        n_coll = 5
+    else:
+        lnz, lny = local_shape[0], local_shape[1]
+        permute_bytes = (2 * (P * lnz * nx * 4)      # ay row slabs
+                         + 2 * (P * lnz * lny * 4)   # ax col slabs
+                         + 2 * (P * lny * nx * 4))   # az plane slabs
+        n_coll = 7
+    psum_bytes = (m + 1) * 2 * 4                     # (j+2, 2) worst case
+    t_bw = (permute_bytes + psum_bytes) / (bw_gbs * 1e9) / US
+    t_lat = n_coll * lat_us
+    t_comms = t_bw + t_lat
+    eff = iter_us / (iter_us + t_comms)
+    row = dict(metric=name, local=list(local_shape), collectives_per_iter=n_coll,
+               permute_kb_per_iter=round(permute_bytes / 1024, 1),
+               t_bw_us=round(t_bw, 1), t_lat_us=round(t_lat, 1),
+               t_comms_us=round(t_comms, 1), iter_compute_us=round(iter_us, 1),
+               modeled_parallel_efficiency=round(eff, 3))
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bw", type=float, default=45.0,
+                    help="GB/s per direction per exchange (conservative)")
+    ap.add_argument("--lat", type=float, default=2.0,
+                    help="per-collective latency, us")
+    args = ap.parse_args()
+
+    # 2D 1024^2 on a 2x2 mesh: local 512^2. Full-chip iteration-pair time
+    # ~105 us at 1024^2; a 512^2 shard's kernels run ~4x less data but
+    # program-grain costs do not shrink 4x — use 2.8x (measured tile-count
+    # scaling of the pipelined kernels).
+    model("shard2d_1024_on_2x2", 2, (512, 512), 2, 10,
+          iter_us=105 / 2.8, bw_gbs=args.bw, lat_us=args.lat)
+    # 2D 4096^2 on a 2x2 mesh: local 2048^2, iteration ~16x the 1024^2
+    # shard's data.
+    model("shard2d_4096_on_2x2", 2, (2048, 2048), 2, 10,
+          iter_us=105 * 16 / 4, bw_gbs=args.bw, lat_us=args.lat)
+    # 3D 256^3 on a 2x2x2 mesh: local 128^3 — the measured 1-shard row
+    # (126 steps/s SS2) gives ~630 us per iteration-pair.
+    model("shard3d_256_on_2x2x2", 3, (128, 128, 128), 2, 10,
+          iter_us=630, bw_gbs=args.bw, lat_us=args.lat)
+    # 3D 512^3 on a 4x4x4 mesh (64 chips): same local 128^3 blocks.
+    model("shard3d_512_on_4x4x4", 3, (128, 128, 128), 2, 10,
+          iter_us=630, bw_gbs=args.bw, lat_us=args.lat)
+
+
+if __name__ == "__main__":
+    main()

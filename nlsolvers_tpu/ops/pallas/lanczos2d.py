@@ -437,7 +437,11 @@ def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
     + a (P, 2, nx) gathered-halo-rows block for 2D; 3D adds two whole-block
     z streams where `ny` is the merged nz*ny row count and
     geom=(nz, true_ny); anisotropic adds wx/wy blocks + a wy halo row),
-    then W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM."""
+    then W_0..W_{j-1}. Outputs: w, raw (j+1, 2) SMEM.
+
+    Sharded callers pass scal = [1/chat, 0]: then w is just (A/chat) W_j
+    (deferred-norm CGS, see lanczos_planar's sharded branch) and the same
+    kernel serves both schemes."""
     grid = (ny // tile,)
     blk = (P, tile, nx)
     wblk = (1, tile, nx)
@@ -1328,6 +1332,70 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
             return lanczos_twopass3d_y(u, m, P, ny, nx, scale, sign,
                                        variant, mode, geom, weights,
                                        safe_inv, interpret)
+
+    if axis_names and not fused_iter and m > 1:
+        # ---- deferred-norm CGS: ONE psum per iteration (plus one final) --
+        # The normalized loop below needs TWO blocking psums per iteration
+        # (raw after pass1, nsq after pass2) because s_{j+1} = 1/||w'||
+        # gates the next pass1. Sharded callers instead run the recurrence
+        # on UNNORMALIZED columns: pass1 applies w = (A/chat) W_j with a
+        # STATIC scaling chat >= ||A|| (Gershgorin; keeps column norms
+        # decaying geometrically, no overflow) and NO three-term
+        # pre-subtraction — the j-1/j components fall out in pass2's full
+        # CGS like every other projection. pass2's LOCAL ||W_{j+1}||^2 then
+        # rides the NEXT iteration's raw psum, so every global norm is
+        # EXACT, one collective later: T is recovered from exact Rayleigh
+        # quotients (alpha_j = chat <W_j, A~ W_j>/||W_j||^2) and exact norm
+        # ratios (beta_j = chat sqrt(||W_{j+1}||^2/||W_j||^2)). Halves the
+        # blocking-collective count per iteration on ICI meshes.
+        if mode == "shard2d":
+            ghat = 8.0                       # |diag| + 4 unit neighbors
+        elif mode == "shard3d":
+            ghat = 12.0
+        elif mode == "shard2d_aniso":
+            # Gershgorin row sum <= 2*(2 max wx + 2 max wy); cross-shard
+            # faces are <= some shard's local face max, so pmax covers them
+            ghat = lax.pmax(4.0 * (jnp.max(wxp) + jnp.max(wyp)), axis_names)
+        else:                                # shard3d_aniso
+            ghat = lax.pmax(4.0 * (jnp.max(wxp) + jnp.max(wyp)
+                                   + jnp.max(wzp)), axis_names)
+        chat = (ghat * abs(scale)).astype(jnp.float32) if hasattr(
+            ghat, "astype") else jnp.float32(ghat * abs(scale))
+        zero = jnp.float32(0.0)
+        scal = jnp.stack([(1.0 / chat).astype(jnp.float32), zero]
+                         ).reshape(1, 2)
+        W = [u]
+        nsq_loc = jnp.sum(u * u)             # local ||W_0||^2
+        nsqs = []                            # exact GLOBAL ||W_i||^2
+        at = []                              # alpha-tilde (entries of T~)
+        for j in range(m - 1):
+            n_streams = j + 2 + n_op
+            tile = _pick_tile(tile_div, nx, n_streams, nplanes=P)
+            w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
+                                 interpret, mode=mode, geom=geom)(
+                scal, *op_args(W[j], tile), *W[:j])
+            packed = gsum(jnp.concatenate(
+                [raw, jnp.stack([nsq_loc.astype(jnp.float32), zero])[None]],
+                axis=0))
+            raw_g = packed[:j + 1]           # <W_i, A~ W_j> global
+            nsqs.append(packed[j + 1, 0])
+            invn = jnp.stack([jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1),
+                                        0.0) for n in nsqs])
+            q = invn[:, None] * raw_g        # CGS coefficients
+            at.append(q[j, 0])
+            tile2 = _pick_tile(ny, nx, j + 4, nplanes=P)
+            wn, nsq2 = _pass2_call(j, P, ny, nx, tile2, interpret)(
+                q, w, *W[:j + 1])
+            nsq_loc = nsq2[0, 0]
+            W.append(wn)
+        nsqs.append(gsum(nsq_loc))           # final column's exact norm
+        s = [safe_inv(jnp.sqrt(n)) for n in nsqs]
+        beta0 = jnp.sqrt(nsqs[0])
+        alphas = [chat * a for a in at]
+        betas = [chat * jnp.sqrt(jnp.where(
+            nsqs[j] > 0, nsqs[j + 1] / jnp.where(nsqs[j] > 0, nsqs[j], 1),
+            0.0)) for j in range(m - 1)]
+        return W, s, alphas, betas, beta0
 
     beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
     W = [u]

@@ -338,6 +338,8 @@ def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
     slabs (P, lnz, nblk, 2, nx), hc x-columns (P, lnz, ty, 2), diag
     (1, lnz, ty, nx), zht/zhb z-halo planes (P, 1, ty, nx slices of the
     (P, 1, lny, nx) slabs), W_0..W_{j-1} blocks. Outputs: w, raw SMEM.
+    The caller passes scal = [1/chat, 0] (deferred-norm CGS, see
+    lanczos_twopass3d_y_sharded).
     """
     nblk = lny // ty
     grid = (nblk,)
@@ -461,32 +463,48 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
         zhb = _recv_from_next(w4[:, 0, :, :], az)[:, None]
         return h, hc, zht, zhb
 
-    beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
+    # Deferred-norm CGS: ONE psum per iteration + one final — see the twin
+    # branch in lanczos2d.lanczos_planar for the full derivation. pass1
+    # applies (A/chat) W_j with chat = 12*scale (Gershgorin bound of the
+    # 7-point operator) and no three-term pre-subtraction; pass2's LOCAL
+    # ||W_{j+1}||^2 rides the next iteration's raw psum, so every global
+    # norm is exact and T is recovered from exact Rayleigh quotients and
+    # norm ratios.
+    chat = jnp.float32(12.0 * abs(scale))
+    zero = jnp.float32(0.0)
+    scal = jnp.stack([1.0 / chat, zero]).reshape(1, 2)
     W = [u]
-    s = [safe_inv(beta0)]
-    alphas, betas = [], []
+    nsq_loc = jnp.sum(u * u)
+    nsqs = []                            # exact GLOBAL ||W_i||^2
+    at = []
     for j in range(m - 1):
         ty = pick_ty3d(lnz, lny, nx, j, P, 3)   # hc/diag/z-slabs ~ 3 extra
-        bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
-        scal = jnp.stack([s[j].astype(jnp.float32),
-                          bs.astype(jnp.float32)]).reshape(1, 2)
         h, hc, zht, zhb = shard_halos(W[j], ty)
         w, raw = _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign,
                                     interpret)(
             scal, as4(W[j]), h, hc, diag, zht, zhb, *(as4(a) for a in W[:j]))
         w = w.reshape(P, R, nx)
-        raw = gsum(raw)
-        sv = jnp.stack([si.astype(jnp.float32) for si in s])     # (j+1,)
-        proj = sv[:, None] * raw
-        alphas.append(proj[j, 0])
-        q = sv[:, None] * proj
+        packed = gsum(jnp.concatenate(
+            [raw, jnp.stack([nsq_loc.astype(jnp.float32), zero])[None]],
+            axis=0))
+        raw_g = packed[:j + 1]
+        nsqs.append(packed[j + 1, 0])
+        invn = jnp.stack([jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1),
+                                    0.0) for n in nsqs])
+        q = invn[:, None] * raw_g
+        at.append(q[j, 0])
         tile2 = _pick_tile(R, nx, j + 4, nplanes=P)
-        wn, nsq = _pass2_call(j, P, R, nx, tile2, interpret)(
+        wn, nsq2 = _pass2_call(j, P, R, nx, tile2, interpret)(
             q, w, *W[:j + 1])
-        b = jnp.sqrt(gsum(nsq[0, 0]))
+        nsq_loc = nsq2[0, 0]
         W.append(wn)
-        s.append(safe_inv(b))
-        betas.append(b)
+    nsqs.append(gsum(nsq_loc))
+    s = [safe_inv(jnp.sqrt(n)) for n in nsqs]
+    beta0 = jnp.sqrt(nsqs[0])
+    alphas = [chat * a for a in at]
+    betas = [chat * jnp.sqrt(jnp.where(
+        nsqs[j] > 0, nsqs[j + 1] / jnp.where(nsqs[j] > 0, nsqs[j], 1),
+        0.0)) for j in range(m - 1)]
     return W, s, alphas, betas, beta0
 
 
