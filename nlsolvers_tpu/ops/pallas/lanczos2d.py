@@ -1308,14 +1308,20 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
     # paths to row-tiled kernels ("Off -> the original row-tiled kernels"
     # refers to pallas_ytile_3d itself).
     if (_cfg.pallas_ytile_3d and m > 1
-            and axis_names and kind == "shard3d"):
+            and axis_names and kind in ("shard3d", "shard3d_aniso")):
         from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
             lanczos_twopass3d_y_sharded, pick_ty3d)
-        # hc/diag/z-slab streams ~ 3 extra block-equivalents
-        if pick_ty3d(desc["lnz"], desc["lny"], nx, max(m - 2, 0), P, 3) >= 8:
+        # extra block-equivalent streams beyond av/W/out: hc + z-slabs +
+        # diag (iso) or + wx/wy/wz face-weight columns (aniso)
+        nop_ys = 3 if kind == "shard3d" else 6
+        if pick_ty3d(desc["lnz"], desc["lny"], nx, max(m - 2, 0), P,
+                     nop_ys) >= 8:
+            aniso_w = (None if kind == "shard3d" else
+                       (wxp, wyp, wy_top, wxl, wzp, wzh, plane_splice))
             return lanczos_twopass3d_y_sharded(u, m, P, ny, nx, scale, sign,
                                                variant, desc, safe_inv,
-                                               interpret, axis_names)
+                                               interpret, axis_names,
+                                               aniso=aniso_w)
 
     if (_cfg.pallas_ytile_3d and not fused_iter
             and m > 1 and not axis_names and mode in ("iso3d", "aniso3d")):

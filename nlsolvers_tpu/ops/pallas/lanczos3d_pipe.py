@@ -407,13 +407,121 @@ def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
     )
 
 
+def _pass1y_shard_aniso_call(j, P, lnz, lny, nx, ty, scale, sign,
+                             interpret):
+    """Sharded ANISO y-slab pass1: finite-volume div(c grad u) on a
+    SHARDED 3D grid, fused with the shard-local projection dots.
+
+    Mask-free like `_pass1y_shard_call`: all boundary/seam/shard structure
+    lives in the jnp-side data — padded face weights (zero on true no-flux
+    faces, cross-shard faces ppermute-averaged), `wyh`/`wzh`/`wxl` the -y /
+    -z / -x face-weight halos, `up`/`dn`/`hc`/`zht`/`zhb` the u halos. The
+    z-stencil is internal to the (P, lnz, ty, nx) block (no z-offset block
+    re-streams — the row-tiled aniso kernel's 2 extra u streams and wz
+    re-fetch disappear). Parity: laplacians.hpp:158-218 via
+    parallel/spatial.sharded_anisotropic_laplacian_3d.
+
+    Inputs: scal (1,2) SMEM [1/chat, 0], W_j block, u halo slabs, hc
+    x-columns, zht/zhb z-halo planes, wx/wy/wz (1, lnz, ty, nx) face
+    weights, wyh (1, lnz, 1, 1, nx) -y face halo slabs, wzh (1, 1, ty, nx)
+    -z face plane, wxl (1, lnz, ty, 1) -x face columns, W_0..W_{j-1}.
+    Outputs: w block, raw (j+1, 2) SMEM.
+    """
+    nblk = lny // ty
+    grid = (nblk,)
+    blk = (P, lnz, ty, nx)
+    wblk = (1, lnz, ty, nx)
+
+    def kernel(scal, u_ref, h_ref, hc_ref, zht_ref, zhb_ref, wx_ref,
+               wy_ref, wyh_ref, wz_ref, wzh_ref, wxl_ref, *rest):
+        wrefs = rest[:j]
+        w_out, raw_out = rest[j], rest[j + 1]
+        u = u_ref[...]
+        h = h_ref[...]
+        up = h[:, :, 0, 0, :][:, :, None, :]
+        dn = h[:, :, 0, 1, :][:, :, None, :]
+        hc = hc_ref[...]
+        wx, wy, wz = wx_ref[...], wy_ref[...], wz_ref[...]
+        u_r = jnp.concatenate([u[..., 1:], hc[..., 1:2]], axis=3)
+        fx = wx * (u_r - u)                       # zero at true +x edge
+        fx_l = jnp.concatenate(
+            [wxl_ref[...] * (u[..., 0:1] - hc[..., 0:1]), fx[..., :-1]],
+            axis=3)
+        below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+        fy = wy * (below - u)
+        above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+        wy_up = jnp.concatenate([wyh_ref[...][:, :, 0, :, :],
+                                 wy[:, :, :-1, :]], axis=2)
+        fy_m1 = wy_up * (u - above)
+        z_below = jnp.concatenate([u[:, 1:], zhb_ref[...]], axis=1)
+        fz = wz * (z_below - u)
+        z_above = jnp.concatenate([zht_ref[...], u[:, :-1]], axis=1)
+        wz_up = jnp.concatenate([wzh_ref[...], wz[:, :-1]], axis=1)
+        fz_m = wz_up * (u - z_above)
+        av = (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = u if idx == j else wrefs[idx][...]
+            re, im = _dots4(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    center = lambda i: (0, 0, i, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        blkspec,
+        pl.BlockSpec((P, lnz, 1, 2, nx), lambda i: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, lnz, ty, 2), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 1, ty, nx), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 1, ty, nx), center, memory_space=pltpu.VMEM),
+        wspec,                                    # wx
+        wspec,                                    # wy
+        pl.BlockSpec((1, lnz, 1, 1, nx), lambda i: (0, 0, i, 0, 0),
+                     memory_space=pltpu.VMEM),    # wyh slabs
+        wspec,                                    # wz
+        pl.BlockSpec((1, 1, ty, nx), center,
+                     memory_space=pltpu.VMEM),    # wzh plane
+        pl.BlockSpec((1, lnz, ty, 1), center,
+                     memory_space=pltpu.VMEM),    # wxl columns
+    ] + [blkspec for _ in range(j)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((j + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, lnz, lny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 8, lnz * ty, nx, P),
+        interpret=interpret,
+    )
+
+
 def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
-                                desc, safe_inv, interpret, axis_names):
+                                desc, safe_inv, interpret, axis_names,
+                                aniso=None):
     """Two-pass Lanczos on a SHARDED 3D grid with the y-slab pass1
-    (`_pass1y_shard_call`): per-shard y-slab blocks, ppermute'd halos, and
-    psum'd reductions — the sharded analogue of `lanczos_twopass3d_y`.
-    Iso 7-point operator only (shard3d descriptors); the anisotropic
-    sharded operator keeps the row-tiled kernels.
+    (`_pass1y_shard_call` / `_pass1y_shard_aniso_call`): per-shard y-slab
+    blocks, ppermute'd halos, psum'd reductions — the sharded analogue of
+    `lanczos_twopass3d_y`. `aniso`, when set, carries the caller-built
+    padded face weights on the merged (R, nx) view:
+    (wxp, wyp, wy_top, wxl, wzp, wzh, plane_splice).
     """
     from nlsolvers_tpu.ops.pallas.lanczos2d import (_pass2_call,
                                                     _recv_from_next,
@@ -424,20 +532,49 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
     lnz, lny = desc["lnz"], desc["lny"]
     as4 = lambda a: a.reshape(P, lnz, lny, nx)
 
-    # per-cell variant diagonal from GLOBAL coordinates (unscaled)
-    shp = (lnz, lny, nx)
-    gz = lax.axis_index(az) * lnz + lax.broadcasted_iota(jnp.int32, shp, 0)
-    gy = lax.axis_index(ay) * lny + lax.broadcasted_iota(jnp.int32, shp, 1)
-    gx = lax.axis_index(ax) * nx + lax.broadcasted_iota(jnp.int32, shp, 2)
-    if variant == "reference":
-        bnd = ((gz == 0) | (gz == NZ - 1) | (gy == 0) | (gy == NY - 1)
-               | (gx == 0) | (gx == NX - 1))
-        diag = jnp.where(bnd, -5.0, -6.0).astype(jnp.float32)
+    if aniso is None:
+        # per-cell variant diagonal from GLOBAL coordinates (unscaled)
+        shp = (lnz, lny, nx)
+        gz = (lax.axis_index(az) * lnz
+              + lax.broadcasted_iota(jnp.int32, shp, 0))
+        gy = (lax.axis_index(ay) * lny
+              + lax.broadcasted_iota(jnp.int32, shp, 1))
+        gx = (lax.axis_index(ax) * nx
+              + lax.broadcasted_iota(jnp.int32, shp, 2))
+        if variant == "reference":
+            bnd = ((gz == 0) | (gz == NZ - 1) | (gy == 0) | (gy == NY - 1)
+                   | (gx == 0) | (gx == NX - 1))
+            diag = jnp.where(bnd, -5.0, -6.0).astype(jnp.float32)
+        else:
+            nnb = (6.0 - (gz == 0) - (gz == NZ - 1) - (gy == 0)
+                   - (gy == NY - 1) - (gx == 0) - (gx == NX - 1))
+            diag = (-nnb).astype(jnp.float32)
+        diag = diag[None]                              # (1, lnz, lny, nx)
     else:
-        nnb = (6.0 - (gz == 0) - (gz == NZ - 1) - (gy == 0)
-               - (gy == NY - 1) - (gx == 0) - (gx == NX - 1))
-        diag = (-nnb).astype(jnp.float32)
-    diag = diag[None]                                  # (1, lnz, lny, nx)
+        wxp, wyp, wy_top, wxl, wzp, wzh, plane_splice = aniso
+        wx4 = wxp.reshape(1, lnz, lny, nx)
+        wy4 = wyp.reshape(1, lnz, lny, nx)
+        wz4 = wzp.reshape(1, lnz, lny, nx)
+        wxl4 = wxl.reshape(1, lnz, lny, 1)
+        wzh4 = wzh.reshape(1, 1, lny, nx)
+        wyh_cache = {}
+
+        def wyh_slabs(ty):
+            """-y face-weight halo slabs (1, lnz, nblk, 1, nx): block k's
+            first row uses the face at local y = k*ty - 1; block 0's is
+            the cross-shard face (ay ppermute, plane_splice) or the
+            merged-seam z-shifted face (reference, unsplit z/y)."""
+            nblk = lny // ty
+            ks = np.arange(nblk)
+            wyh = jnp.take(wy4, jnp.asarray(np.maximum(ks * ty - 1, 0)),
+                           axis=2)                     # (1, lnz, nblk, nx)
+            if plane_splice:
+                wyh = wyh.at[:, :, 0, :].set(wy_top[0][None])
+            else:
+                zrow = jnp.zeros_like(wy4[:, :1, 0, :])
+                seam = jnp.concatenate([zrow, wy4[:, :-1, -1, :]], axis=1)
+                wyh = wyh.at[:, :, 0, :].set(seam)
+            return wyh[:, :, :, None, :]
 
     def gsum(x):
         return lax.psum(x, axis_names)
@@ -465,24 +602,41 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
 
     # Deferred-norm CGS: ONE psum per iteration + one final — see the twin
     # branch in lanczos2d.lanczos_planar for the full derivation. pass1
-    # applies (A/chat) W_j with chat = 12*scale (Gershgorin bound of the
-    # 7-point operator) and no three-term pre-subtraction; pass2's LOCAL
-    # ||W_{j+1}||^2 rides the next iteration's raw psum, so every global
-    # norm is exact and T is recovered from exact Rayleigh quotients and
-    # norm ratios.
-    chat = jnp.float32(12.0 * abs(scale))
+    # applies (A/chat) W_j with chat a Gershgorin bound (12*scale iso;
+    # pmax'd face-weight bound aniso) and no three-term pre-subtraction;
+    # pass2's LOCAL ||W_{j+1}||^2 rides the next iteration's raw psum, so
+    # every global norm is exact and T is recovered from exact Rayleigh
+    # quotients and norm ratios.
+    if aniso is None:
+        chat = jnp.float32(12.0 * abs(scale))
+    else:
+        ghat = lax.pmax(4.0 * (jnp.max(wx4) + jnp.max(wy4)
+                               + jnp.max(wz4)), axis_names)
+        chat = (ghat * abs(scale)).astype(jnp.float32)
     zero = jnp.float32(0.0)
-    scal = jnp.stack([1.0 / chat, zero]).reshape(1, 2)
+    scal = jnp.stack([(1.0 / chat).astype(jnp.float32),
+                      zero]).reshape(1, 2)
     W = [u]
     nsq_loc = jnp.sum(u * u)
     nsqs = []                            # exact GLOBAL ||W_i||^2
     at = []
+    nop = 3 if aniso is None else 6      # hc/z-slabs + diag | + wx/wy/wz
     for j in range(m - 1):
-        ty = pick_ty3d(lnz, lny, nx, j, P, 3)   # hc/diag/z-slabs ~ 3 extra
+        ty = pick_ty3d(lnz, lny, nx, j, P, nop)
         h, hc, zht, zhb = shard_halos(W[j], ty)
-        w, raw = _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign,
-                                    interpret)(
-            scal, as4(W[j]), h, hc, diag, zht, zhb, *(as4(a) for a in W[:j]))
+        if aniso is None:
+            w, raw = _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale,
+                                        sign, interpret)(
+                scal, as4(W[j]), h, hc, diag, zht, zhb,
+                *(as4(a) for a in W[:j]))
+        else:
+            if ty not in wyh_cache:
+                wyh_cache[ty] = wyh_slabs(ty)
+            w, raw = _pass1y_shard_aniso_call(j, P, lnz, lny, nx, ty,
+                                              scale, sign, interpret)(
+                scal, as4(W[j]), h, hc, zht, zhb, wx4, wy4,
+                wyh_cache[ty], wz4, wzh4, wxl4,
+                *(as4(a) for a in W[:j]))
         w = w.reshape(P, R, nx)
         packed = gsum(jnp.concatenate(
             [raw, jnp.stack([nsq_loc.astype(jnp.float32), zero])[None]],

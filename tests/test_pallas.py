@@ -408,7 +408,10 @@ def test_sharded_3d_fused_matches_xla(interp_mode, shard_ytile_mode):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
 
 
-def test_sharded_3d_aniso_fused_matches_xla(interp_mode):
+def test_sharded_3d_aniso_fused_matches_xla(interp_mode, shard_ytile_mode):
+    # parametrized over shard_ytile_mode: the aniso sharded descriptors
+    # route through the y-slab pass1 (_pass1y_shard_aniso_call) when the
+    # blocks fit, the row-tiled kernels otherwise — pin both.
     from jax.sharding import Mesh
     from nlsolvers_tpu.parallel import spatial
 
@@ -462,6 +465,41 @@ def test_sharded_3d_reference_variant_x_only(interp_mode, shard_ytile_mode):
         "cubic", shape, 5.0, 1e-3, mesh, axis_names=axes,
         krylov_m=m_kry, dtype=jnp.complex64, variant="reference")
     ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_3d_aniso_reference_variant_x_only(interp_mode,
+                                                  shard_ytile_mode):
+    # anisotropic + variant="reference": the merged-seam face weights
+    # (wyp built over merged rows, zero wy_top) only legal with unsplit
+    # z/y — shard x over all 8 devices. Exercises the y-slab aniso
+    # kernel's seam-valued u halos + _gather-style wyh seam slabs.
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 1, 8),
+                ("gz", "gy", "gx"))
+    shape, m_kry = (16, 16, 8 * 128), 6
+    axes = ("gz", "gy", "gx")
+    rng = np.random.default_rng(59)
+    c = (1.0 + 0.4 * rng.random(shape)).astype(np.float32)
+    u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
+    mf = np.ones(shape, np.float32)
+    step = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-4, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="reference",
+        use_c=True)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step(
+        "cubic", shape, 5.0, 1e-4, mesh, axis_names=axes,
+        krylov_m=m_kry, dtype=jnp.complex64, variant="reference",
+        use_c=True)
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf),
+                              jnp.asarray(c)))
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
 
 
