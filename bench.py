@@ -58,15 +58,20 @@ def main():
     prob = problems.nlse_problem(
         "cubic", (N, N), LX, DT, m_field=m_field, krylov_m=KRYLOV_M,
         dtype=jnp.complex64)
+    # round 4: the ss2 problem state is PLANAR (2, R, nx) float32 when the
+    # fused kernels qualify (models/problems._planar_ss2) — prob.init
+    # accepts the packed (re, im) stack directly and the chunk carries the
+    # planar state with no complex<->planar conversions anywhere.
+    planar = prob.meta.get("planar_state", False)
 
     def chunk(u_packed):
-        u = unpack_complex(u_packed)
+        u = prob.init(u_packed) if planar else unpack_complex(u_packed)
 
         def body(i, s):
             return prob.step(s, i + 1)
 
         u = jax.lax.fori_loop(0, CHUNK, body, u)
-        return pack_complex(u)
+        return u.reshape(2, N, N) if planar else pack_complex(u)
 
     chunk_j = jax.jit(chunk)
     u = jax.device_put(jnp.asarray(u0_packed), dev)

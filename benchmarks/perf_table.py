@@ -159,11 +159,14 @@ def main():
         def step(s, i):
             return prob.step(s, i)
 
-        state = unpack_complex(jnp.asarray(u0))
+        if prob.meta.get("planar_state", False):
+            state = prob.init(u0)                 # planar (2, R, nx) f32
+            mat = lambda s: np.asarray(s)
+        else:
+            state = unpack_complex(jnp.asarray(u0))
+            mat = lambda s: np.asarray(pack_complex(s))
         chunk = chunk or (2000 if len(shape) == 2 else 300)
-        rates, _ = time_chunk(
-            step, state, chunk, args.repeats,
-            lambda s: np.asarray(pack_complex(s)))
+        rates, _ = time_chunk(step, state, chunk, args.repeats, mat)
         med = float(np.median(rates))
         bs = ss2_bytes(shape, m_kry, mode)
         emit(name, shape, med, rates, bs)

@@ -22,8 +22,8 @@ import numpy as np
 from nlsolvers_tpu.ops.krylov import MATFUNCS, expm_apply, matfunc_apply
 from nlsolvers_tpu.config import default_krylov_m
 
-__all__ = ["ss2_step", "sewi_step", "gautschi_step", "sewi_first_step",
-           "gautschi_phi1_bootstrap"]
+__all__ = ["ss2_step", "ss2_step_planar", "phase_kick_planar", "sewi_step",
+           "gautschi_step", "sewi_first_step", "gautschi_phi1_bootstrap"]
 
 
 def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
@@ -34,6 +34,37 @@ def ss2_step(u, lap, rho_fn, dt, m=default_krylov_m, reorth=True,
     u = expm_apply(lap, u, tau, m=m, reorth=reorth, axis_names=axis_names)
     u = jnp.exp(0.5 * tau * rho_fn(u)) * u
     return u
+
+
+def phase_kick_planar(up, rho, theta):
+    """up *= exp(i*theta*rho) on PLANAR (2, ...) float32 state.
+
+    The complex64 pointwise exp costs ~0.87 ms/step at 128^3 on v5e (the
+    complex math plus the per-step real/imag<->complex layout conversions —
+    benchmarks/exp3d_step_r04.py); the planar f32 cos/sin rotation fuses
+    into one cheap VPU pass."""
+    th = theta * rho
+    c, s = jnp.cos(th), jnp.sin(th)
+    return jnp.stack([up[0] * c - up[1] * s, up[0] * s + up[1] * c])
+
+
+def ss2_step_planar(up, desc, rho_fn, dt, m=default_krylov_m,
+                    interpret=False, axis_names=()):
+    """SS2 on PLANAR state (2, R, nx) float32 — the fused fast path.
+
+    Bit-level semantics of ss2_step with tau = i*dt (complex64), minus the
+    per-step complex<->planar layout conversions and complex pointwise exp
+    that cost ~40% of the 3D production step (exp3d_step_r04.py: 4.62 ms
+    step vs 2.73 ms bare matfunc at 128^3). `desc` is the operator's pallas
+    descriptor; `rho_fn` a planar density (nonlinearities.nlse_density_planar).
+    Callers gate on lanczos2d.supported_desc at build time.
+    """
+    from nlsolvers_tpu.ops.pallas.lanczos2d import matfunc_apply_planar
+
+    up = phase_kick_planar(up, rho_fn(up), 0.5 * dt)
+    up = matfunc_apply_planar(up, desc, np.complex64(1j * dt), "exp", m,
+                              interpret=interpret, axis_names=axis_names)
+    return phase_kick_planar(up, rho_fn(up), 0.5 * dt)
 
 
 def _B(u, rho_fn):

@@ -87,6 +87,63 @@ def _neumann(shape):
             else bcs.neumann_no_velocity_3d)
 
 
+def _planar_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
+                kappa, bc, dtype, integrator, reorth):
+    """(step, init, observe) running SS2 entirely on PLANAR (2, R, nx)
+    float32 state when the fused kernels qualify, else None.
+
+    Eliminates the per-step complex<->planar layout conversions and the
+    complex pointwise exp — measured ~40% of the production 3D step at
+    128^3 on v5e (benchmarks/exp3d_step_r04.py: 4.62 ms step vs 2.73 ms
+    bare fused matfunc). Snapshots convert to complex once per observe,
+    not per step. The reorth flag is ignored-equivalent: the fused kernels
+    always fully reorthogonalize, so reorth=False falls through to the
+    complex path for parity with ops/krylov."""
+    from nlsolvers_tpu.config import pallas_dispatch
+    from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
+    from nlsolvers_tpu.ops.pallas.lanczos2d import supported_desc
+
+    if (integrator != "ss2" or dtype != jnp.complex64 or bc == "radiating"
+            or not reorth):
+        return None
+    desc = getattr(lap, "_pallas_desc", None)
+    use, interpret = pallas_dispatch()
+    if not use or not supported_desc(desc, shape, dtype):
+        return None
+    R = int(np.prod(shape[:-1]))
+    nx = shape[-1]
+    m2 = jnp.asarray(np.asarray(m_field).reshape(R, nx), jnp.float32)
+    rho = nlse_density_planar(kind, m2, sigma1=sigma1, sigma2=sigma2,
+                              kappa=kappa)
+    neum = _neumann(shape) if bc == "noflux" else (lambda u: u)
+
+    def step(up, i):
+        del i
+        up = nlse_mod.ss2_step_planar(up, desc, rho, dt, m=krylov_m,
+                                      interpret=interpret)
+        return neum(up.reshape((2,) + shape)).reshape(2, R, nx)
+
+    def init(u0):
+        if isinstance(u0, np.ndarray) and np.iscomplexobj(u0):
+            # host complex: split BEFORE transfer (complex cannot cross
+            # host<->device on the axon backend, utils/complexio.py)
+            arr = np.stack([u0.real, u0.imag]).astype(np.float32)
+            return jnp.asarray(arr).reshape(2, R, nx)
+        z = jnp.asarray(u0)
+        if z.ndim == len(shape) + 1 and z.shape[0] == 2:
+            return z.astype(jnp.float32).reshape(2, R, nx)  # packed planar
+        re = jnp.real(z).astype(jnp.float32)
+        im = (jnp.imag(z).astype(jnp.float32) if jnp.iscomplexobj(z)
+              else jnp.zeros_like(re))
+        return jnp.stack([re, im]).reshape(2, R, nx)
+
+    def observe(up):
+        u = up.reshape((2,) + shape)
+        return lax.complex(u[0], u[1])
+
+    return step, init, observe
+
+
 def _resident_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
                   kappa, apply_bc, dtype, integrator, c_field, reorth):
     """(step, init, observe) using the single-kernel VMEM-resident SS2 step
@@ -183,8 +240,14 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
                 _resident_ss2(kind, shape, dt, krylov_m, lap, m_field,
                               sigma1, sigma2, kappa, bc == "noflux", dtype,
                               integrator, c_field, reorth))
+    planar = (None if resident is not None else
+              _planar_ss2(kind, shape, dt, krylov_m, lap, m_field,
+                          sigma1, sigma2, kappa, bc, dtype, integrator,
+                          reorth))
     if resident is not None:
         step, init, observe = resident
+    elif planar is not None:
+        step, init, observe = planar
     elif integrator == "ss2":
         def step(state, i):
             del i
@@ -231,7 +294,7 @@ def nlse_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
 
     meta = dict(equation=f"nlse_{kind}", integrator=integrator, shape=shape,
                 Lx=Lx, dx=dx, dt=dt, krylov_m=krylov_m, dim=dim, bc=bc,
-                variant=variant,
+                variant=variant, planar_state=planar is not None,
                 params=dict(sigma1=sigma1, sigma2=sigma2, kappa=kappa))
     return Problem(step, init, observe, meta)
 

@@ -686,8 +686,8 @@ class Datagen:
         cfg = self.cfg
         futures = []
         done = 0
-        stats = dict(wall_s=0.0, sample_s=0.0, evolve_s=0.0, archived=0,
-                     guard_skipped=0, resume_skipped=0)
+        stats = dict(wall_s=0.0, sample_s=0.0, evolve_s=0.0, archive_s=0.0,
+                     archived=0, guard_skipped=0, resume_skipped=0)
         t_sweep0 = time.time()
         # pad quota: the batch dim must divide the mesh's batch axis (grid
         # axes shard the grid, not the batch — no padding needed for them)
@@ -803,7 +803,9 @@ class Datagen:
                     futures.append(self._archiver.submit(
                         self._archive_run, *args))
                 else:
+                    ta0 = time.time()
                     futures.append(_Done(self._archive_run(*args)))
+                    stats["archive_s"] += time.time() - ta0
             done += batch
             # NOTE: with pipelining, a batch's walltime overlaps the next
             # batch's device time (and the first batch includes compile),
@@ -812,7 +814,10 @@ class Datagen:
                   f"{walltime:.2f}s dispatch-to-fetch ({per_run:.2f}s/run, "
                   f"overlapped)")
             pending = current
+        ta0 = time.time()
         written = self._archive_flush(futures)
+        stats["archive_s"] += time.time() - ta0
         stats["wall_s"] = time.time() - t_sweep0
+        self.last_stats = dict(stats)
         self.summary_line = self._sweep_summary(stats)
         return written

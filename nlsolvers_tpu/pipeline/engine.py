@@ -110,6 +110,37 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
         apply_boundary = lambda u, m_f: fixed(u)
     two_state = integrator in ("sewi", "sewi_fused", "gautschi")
 
+    # Planar fast path (round 4): SS2 complex64 trajectories keep the state
+    # as (2, R, nx) float32 through the WHOLE scan — no per-step
+    # complex<->planar conversions, planar cos/sin kicks, fused matfunc
+    # (models/nlse.ss2_step_planar; measured breakdown in
+    # benchmarks/exp3d_step_r04.py). Falls back to the complex path when
+    # the kernels don't qualify for this shape/config.
+    use_planar = False
+    if (integrator == "ss2" and dtype == jnp.complex64
+            and boundary in ("noflux", "none") and reorth):
+        from nlsolvers_tpu.config import pallas_dispatch
+        from nlsolvers_tpu.ops.pallas.lanczos2d import supported_desc
+        probe_c = (jnp.ones(shape, rdtype) if use_c else None)
+        probe_desc = getattr(lap_of(probe_c), "_pallas_desc", None)
+        use_pl, pl_interpret = pallas_dispatch()
+        use_planar = bool(use_pl and supported_desc(probe_desc, shape,
+                                                    dtype))
+    R_rows = int(np.prod(shape[:-1]))
+
+    def single_step_planar(up, i, m_f, c_f):
+        del i
+        lap = lap_of(c_f)
+        from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
+        rho = nlse_density_planar(kind, m_f.reshape(R_rows, nx),
+                                  sigma1=sigma1, sigma2=sigma2, kappa=kappa)
+        up = nlse_mod.ss2_step_planar(up, lap._pallas_desc, rho, dt,
+                                      m=krylov_m, interpret=pl_interpret)
+        if boundary == "noflux" and apply_bc:
+            up = apply_boundary(up.reshape((2,) + shape),
+                                m_f).reshape(2, R_rows, nx)
+        return up
+
     def single_step(state, i, m_f, c_f):
         lap = lap_of(c_f)
         rho = nlse_density(kind, m_f, sigma1=sigma1, sigma2=sigma2,
@@ -137,21 +168,29 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
         u_new, u_prev_new = lax.cond(i == 1, boot, normal, None)
         return apply_boundary(u_new, m_f), u_prev_new
 
-    vstep = _vmap_fields(single_step, use_c)
+    vstep = _vmap_fields(single_step_planar if use_planar else single_step,
+                         use_c)
 
     dV = dx ** len(shape)
     spatial_axes = tuple(range(1, len(shape) + 1))
 
     def mass_of(state):
+        if use_planar:
+            return jnp.sum(state * state, axis=(1, 2, 3)) * dV    # (B,)
         u = state[0] if two_state else state
         return jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV   # (B,)
 
     @partial(jax.jit, static_argnums=(3, 4))
     def traj(u0_packed, m, c, num_snapshots, snapshot_freq):
-        u0 = lax.complex(u0_packed[:, 0].astype(rdtype),
-                         u0_packed[:, 1].astype(rdtype))
-        state0 = (u0, u0) if two_state else u0
-        observe = (lambda s: s[0]) if two_state else (lambda s: s)
+        if use_planar:
+            state0 = u0_packed.reshape(
+                u0_packed.shape[:2] + (R_rows, nx)).astype(rdtype)
+            observe = lambda s: s
+        else:
+            u0 = lax.complex(u0_packed[:, 0].astype(rdtype),
+                             u0_packed[:, 1].astype(rdtype))
+            state0 = (u0, u0) if two_state else u0
+            observe = (lambda s: s[0]) if two_state else (lambda s: s)
 
         if use_c:
             step = lambda st, i: vstep(st, i, m, c)
@@ -159,6 +198,9 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
             step = lambda st, i: vstep(st, i, m)
 
         def pack(snaps):
+            if use_planar:                                 # (S, B, 2, R, nx)
+                snaps = jnp.moveaxis(snaps, 0, 1)
+                return snaps.reshape(snaps.shape[:3] + tuple(shape))
             snaps = jnp.moveaxis(snaps, 0, 1)              # (B, S, *shape)
             return jnp.stack([jnp.real(snaps), jnp.imag(snaps)], axis=2)
 

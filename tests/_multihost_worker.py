@@ -89,11 +89,17 @@ def main():
         mesh=mesh, shard_grid=shard_grid,
         record_energy=args.record_energy, resume=args.resume)
     t0 = time.time()
-    written = Datagen(cfg).run()
+    dg = Datagen(cfg)
+    written = dg.run()
     elapsed = time.time() - t0
     # one JSON line for the launcher (walltime gather, submit_nlse.py:129-134)
+    # with the per-phase decomposition (sample/evolve/archive) and the
+    # rank-0 sweep summary line for tests to assert on
     print(json.dumps(dict(pid=args.pid, written=[str(p) for p in written],
-                          elapsed=elapsed)), flush=True)
+                          elapsed=elapsed,
+                          stats=getattr(dg, "last_stats", None),
+                          summary=getattr(dg, "summary_line", None))),
+          flush=True)
     return 0
 
 

@@ -87,6 +87,23 @@ def test_per_host_shards(cluster_run):
     assert {int(n.rsplit("_", 1)[1].split(".")[0]) for n in names1} == {2, 3}
 
 
+def test_sweep_summary_and_phase_stats(cluster_run):
+    """End-of-sweep farm summary (parity: submit_nlse.py:129-134 gathers
+    per-rank walltimes to rank 0) + the per-phase decomposition the
+    weak-scaling harness records."""
+    _, results = cluster_run
+    # rank 0 printed the allgather'd summary line; rank 1 stayed silent
+    assert results[0]["summary"] is not None
+    assert "sweep summary" in results[0]["summary"]
+    assert "4/4 runs archived" in results[0]["summary"]
+    assert results[1]["summary"] is None
+    for r in results:
+        st = r["stats"]
+        assert st["archived"] == 2
+        assert st["evolve_s"] > 0 and st["wall_s"] >= st["evolve_s"]
+        assert st["sample_s"] >= 0 and st["archive_s"] >= 0
+
+
 def test_dryrun_multichip_two_processes(tmp_path):
     """__graft_entry__.dryrun_multichip's multi-process mode: batch + spatial
     sharding compiles and executes over a real 2-process, 4-device mesh."""

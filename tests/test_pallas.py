@@ -123,20 +123,61 @@ def test_dispatch_skips_unaligned_grids(interp_mode):
 
 
 def test_problem_step_with_pallas(interp_mode):
+    """The ss2 problem under pallas runs the PLANAR fast path (round 4:
+    state is (2, R, nx) float32 across steps); three steps must match the
+    complex XLA problem built with the kernels disabled."""
     from nlsolvers_tpu.models import problems
 
     n = 128
-    prob = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3,
-                                 m_field=np.ones((n, n), np.float32),
-                                 krylov_m=6, dtype=jnp.complex64)
+    kw = dict(m_field=np.ones((n, n), np.float32), krylov_m=6,
+              dtype=jnp.complex64)
+    prob = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3, **kw)
+    assert prob.meta["planar_state"]
     x = np.linspace(-5, 5, n, dtype=np.float32)
     env = np.exp(-(x[:, None]**2 + x[None, :]**2) / 4)
-    u0 = prob.init(env.astype(np.complex64))
-    u1 = jax.jit(prob.step)(u0, 1)
+    u0c = env.astype(np.complex64)
+    s = prob.init(u0c)
+    assert s.dtype == jnp.float32 and s.shape == (2, n, n)
+    for i in range(3):
+        s = jax.jit(prob.step)(s, i + 1)
+    got = np.asarray(prob.observe(s))
+
     config.pallas_mode = "off"
-    u1_ref = jax.jit(prob.step)(u0, 1)
-    np.testing.assert_allclose(np.asarray(u1), np.asarray(u1_ref),
-                               rtol=2e-4, atol=2e-5)
+    prob_ref = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3, **kw)
+    assert not prob_ref.meta["planar_state"]
+    sr = prob_ref.init(u0c)
+    for i in range(3):
+        sr = jax.jit(prob_ref.step)(sr, i + 1)
+    ref = np.asarray(prob_ref.observe(sr))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_engine_planar_trajectory_matches_complex(interp_mode):
+    """Engine-level planar fast path (pipeline/engine ss2 branch): a full
+    guarded 3D anisotropic batch trajectory, planar vs the complex XLA
+    engine, including the on-device mass series."""
+    from nlsolvers_tpu.pipeline.engine import make_nlse_trajectory_fn
+
+    shape = (16, 16, 128)
+    kw = dict(integrator="ss2", krylov_m=6, dtype=jnp.complex64,
+              guard=True, record_energy=True)
+    rng = np.random.default_rng(23)
+    u0p = 0.1 * rng.standard_normal((2, 2) + shape).astype(np.float32)
+    m = np.ones((2,) + shape, np.float32)
+    c = (1.0 + 0.3 * rng.random((2,) + shape)).astype(np.float32)
+
+    traj = make_nlse_trajectory_fn("cubic", shape, 5.0, 1e-3, **kw)
+    snaps, bad, series = traj(u0p, m, c, 3, 2)
+    got, got_mass = np.asarray(snaps), np.asarray(series["mass"])
+
+    config.pallas_mode = "off"
+    traj_ref = make_nlse_trajectory_fn("cubic", shape, 5.0, 1e-3, **kw)
+    snaps_r, bad_r, series_r = traj_ref(u0p, m, c, 3, 2)
+    np.testing.assert_allclose(got, np.asarray(snaps_r), rtol=3e-4,
+                               atol=3e-5)
+    np.testing.assert_allclose(got_mass, np.asarray(series_r["mass"]),
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(bad), np.asarray(bad_r))
 
 
 def test_aniso_expm_matches_xla():
