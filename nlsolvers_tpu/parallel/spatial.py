@@ -422,6 +422,36 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
     neumann = (_sharded_neumann(global_shape, axis_names) if apply_bc
                else (lambda u: u))
 
+    # Planar fast path (round 4, same as pipeline/engine): when the sharded
+    # fused kernels qualify, the step never leaves the packed (2, ...)
+    # float32 layout — planar cos/sin kicks, fused matfunc on the merged
+    # row view, no per-step complex<->planar conversions.
+    lshape = tuple(g // int(mesh.shape[a])
+                   for g, a in zip(global_shape, axis_names))
+    use_planar = False
+    if dtype == jnp.complex64 and reorth:
+        from nlsolvers_tpu.config import pallas_dispatch
+        from nlsolvers_tpu.ops.pallas.lanczos2d import supported_desc
+        probe = (_aniso_desc(global_shape, dx, axis_names, variant,
+                             np.ones(lshape, np.float32), 1.0) if use_c
+                 else getattr(lap, "_pallas_desc", None))
+        use_pl, pl_interp = pallas_dispatch()
+        use_planar = bool(use_pl and supported_desc(probe, lshape, dtype))
+    Rl, nxl = int(np.prod(lshape[:-1])), lshape[-1]
+
+    def local_single_planar(up, mloc, cloc=None):     # up (2,) + lshape
+        from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
+        desc = (_aniso_desc(global_shape, dx, axis_names, variant, cloc,
+                            1.0) if use_c else lap._pallas_desc)
+        if len(global_shape) == 3:
+            desc = dict(desc, lnz=lshape[0], lny=lshape[1])
+        rho = nlse_density_planar(kind, mloc.reshape(Rl, nxl),
+                                  sigma1=sigma1, sigma2=sigma2, kappa=kappa)
+        upr = nlse_mod.ss2_step_planar(up.reshape(2, Rl, nxl), desc, rho,
+                                       dt, m=krylov_m, interpret=pl_interp,
+                                       axis_names=axis_names)
+        return neumann(upr.reshape((2,) + lshape))
+
     def local_single(u, mloc, cloc=None):
         if use_c:
             op = lambda v: aniso(v, cloc)
@@ -437,6 +467,15 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
         return neumann(u)
 
     def local_step(u_packed, mloc, cloc=None):
+        if use_planar:
+            up = u_packed.astype(rdtype)
+            if batch_axis is None:
+                return (local_single_planar(up, mloc, cloc) if use_c
+                        else local_single_planar(up, mloc))
+            fn = jax.vmap(local_single_planar, in_axes=((1, 0, 0) if use_c
+                                                        else (1, 0)),
+                          out_axes=1)
+            return fn(up, mloc, cloc) if use_c else fn(up, mloc)
         u = lax.complex(u_packed[0], u_packed[1])
         if batch_axis is None:
             u = local_single(u, mloc, cloc)
