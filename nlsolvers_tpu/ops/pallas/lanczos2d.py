@@ -1326,11 +1326,19 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
     if (_cfg.pallas_ytile_3d and not fused_iter
             and m > 1 and not axis_names and mode in ("iso3d", "aniso3d")):
         from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
-            lanczos_pipe3d, lanczos_twopass3d_y, pick_ty3d)
+            lanczos_pipe3d, lanczos_twopass3d_y, pick_brick3d, pick_ty3d)
         nop_pipe = 0 if mode == "iso3d" else 4
-        if pick_ty3d(geom[0], geom[1], nx, max(m - 2, 0), P, nop_pipe) >= 8:
+        jmax = max(m - 2, 0)
+        fits_yslab = pick_ty3d(geom[0], geom[1], nx, jmax, P, nop_pipe) >= 8
+        # 256^3-class iso grids where the full-z slabs exceed VMEM take the
+        # brick pass1 (z- AND y-tiled, gathered z-halo planes) for the late
+        # iterations; the two-pass driver picks per iteration.
+        fits_brick = (mode == "iso3d"
+                      and pick_brick3d(geom[0], geom[1], nx, jmax, P, 0)
+                      is not None)
+        if fits_yslab or fits_brick:
             weights = (wx, wym, wz) if mode == "aniso3d" else None
-            if _cfg.pallas_pipeline_3d:
+            if _cfg.pallas_pipeline_3d and fits_yslab:
                 # opt-in single-pass pipe (see config.pallas_pipeline_3d)
                 return lanczos_pipe3d(u, m, P, ny, nx, scale, sign, variant,
                                       mode, geom, op_args, weights,

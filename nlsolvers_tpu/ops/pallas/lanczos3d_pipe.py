@@ -50,7 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 from nlsolvers_tpu.ops.pallas.lanczos2d import (
     _VMEM_BUDGET, _compiler_params, _pass1_call, _pick_tile, _pipe_call)
 
-__all__ = ["lanczos_pipe3d", "lanczos_twopass3d_y", "pick_ty3d"]
+__all__ = ["lanczos_pipe3d", "lanczos_twopass3d_y", "pick_ty3d",
+           "pick_brick3d"]
 
 
 def pick_ty3d(nz, ny, nx, j, P, nop):
@@ -67,6 +68,49 @@ def pick_ty3d(nz, ny, nx, j, P, nop):
                 best = t
         t += 8
     return best
+
+
+def pick_brick3d(nz, ny, nx, j, P, nop):
+    """(tz, ty) brick for `_pass1zy_call` when the full-z y-slab blocks
+    exceed VMEM (256^3-class grids): blocks are (P, tz, ty, nx) with BOTH
+    z- and y-halos gathered jnp-side. Prefers the largest block area with
+    the fattest y-tile (ty is the sublane dim). Returns None if nothing
+    >= (8, 8) fits."""
+    best = None
+    best_score = (0, 0, 0)
+    for ty in range(8 * (ny // 8), 7, -8):
+        if ny % ty:
+            continue
+        for tz in range(nz, 0, -1):
+            if nz % tz:
+                continue
+            blk = P * tz * ty * nx * 4
+            halos = P * (tz * 2 + 2 * ty) * nx * 4
+            if 2 * ((j + 5 + nop) * blk + halos) <= _VMEM_BUDGET:
+                # among max-area bricks prefer balanced ones (both halo
+                # families stay small), then fatter y-tiles (sublane dim)
+                score = (tz * ty, min(tz, ty), ty)
+                if score > best_score:
+                    best, best_score = (tz, ty), score
+                break                      # larger tz won't fit either
+    return best
+
+
+def gather_z_halos(a4, tz):
+    """Per-z-brick halo planes of a (P, nz, ny, nx) field:
+    (P, nzb, 2, ny, nx) where [:, k, 0] is the plane above brick k and
+    [:, k, 1] the plane below — exact zeros at the domain ends (no-flux;
+    the reference 3D operator has no z-seam, its merged seam is in y)."""
+    Pp, nz, ny, nx = a4.shape
+    nzb = nz // tz
+    ks = np.arange(nzb)
+    up = jnp.take(a4, jnp.asarray(np.maximum(ks * tz - 1, 0)), axis=1)
+    dn = jnp.take(a4, jnp.asarray(np.minimum((ks + 1) * tz, nz - 1)),
+                  axis=1)                                # (P, nzb, ny, nx)
+    zplane = jnp.zeros_like(up[:, 0])
+    up = up.at[:, 0].set(zplane)
+    dn = dn.at[:, nzb - 1].set(zplane)
+    return jnp.stack([up, dn], axis=2)                   # (P, nzb, 2, ny, nx)
 
 
 def _dots4(P, Wi, w):
@@ -140,6 +184,114 @@ def _stencil_aniso_3d_y(u, up, dn, wx, wy, wyh, wz, ty, scale, sign):
     wz_up = jnp.concatenate([wzp, wz[:, :-1]], axis=1)
     fz_m = wz_up * (u - z_above)                        # 0 at z = 0
     return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+
+
+def _stencil_3d_brick(u, up, dn, zup, zdn, z0, y0, tz, ty, nz, ny, nx,
+                      scale, sign, variant):
+    """7-point no-flux Laplacian of a (P, tz, ty, nx) BRICK block.
+
+    Generalizes `_stencil_3d_y` to z-tiled bricks: the z-neighbors at the
+    brick faces arrive as exact gathered halo planes `zup`/`zdn`
+    (P, 1, ty, nx) — zeros at the true domain ends — instead of being
+    internal zero planes; `up`/`dn` are the y-halo slabs as before. The
+    variant diagonal uses global (z0+*, y0+*) coordinates.
+    """
+    zc = jnp.zeros(u.shape[:3] + (1,), u.dtype)
+    cols = lax.broadcasted_iota(jnp.int32, (1, 1, ty, nx), 3)
+    lft, rgt = cols == 0, cols == nx - 1
+    left = jnp.where(lft, 0.0, jnp.concatenate([zc, u[..., :-1]], axis=3))
+    right = jnp.where(rgt, 0.0, jnp.concatenate([u[..., 1:], zc], axis=3))
+    above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+    below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+    z_above = jnp.concatenate([zup, u[:, :-1]], axis=1)
+    z_below = jnp.concatenate([u[:, 1:], zdn], axis=1)
+    zs = lax.broadcasted_iota(jnp.int32, (1, tz, ty, nx), 1) + z0
+    ys = lax.broadcasted_iota(jnp.int32, (1, tz, ty, nx), 2) + y0
+    zb = (zs == 0) | (zs == nz - 1)
+    yb = (ys == 0) | (ys == ny - 1)
+    if variant == "reference":
+        diag = jnp.where(zb | yb | lft | rgt, -5.0, -6.0)
+    else:
+        cnt = jnp.zeros((1, tz, ty, nx), u.dtype)
+        for mask in (zs == 0, zs == nz - 1, ys == 0, ys == ny - 1,
+                     lft, rgt):
+            cnt = cnt + mask.astype(u.dtype)
+        diag = -(6.0 - cnt)
+    nb = above + below + z_above + z_below + left + right
+    return (nb + diag * u) * (scale * sign)
+
+
+def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
+                  interpret):
+    """Two-pass pass1 on (P, tz, ty, nx) BRICKS — the 256^3-class geometry.
+
+    Same math as `_pass1y_call` mode iso3d, but with a 2D (nz/tz, ny/ty)
+    program grid and BOTH halo families gathered jnp-side: y-halo slabs
+    (seam-aware, `gather_y_halos`) and z-halo planes (`gather_z_halos`).
+    Restores the ~0.5-4 MB block-stream regime the y-slab kernels were
+    measured in at 128^3 when the full-z slabs no longer fit VMEM
+    (pick_ty3d returns 0 and the row-tiled kernels collapse to ~0.14 of
+    stream peak, VERDICT r3 weak #2)."""
+    nzb, nyb = nz // tz, ny // ty
+    grid = (nzb, nyb)
+    blk = (P, tz, ty, nx)
+
+    def kernel(scal, u_ref, h_ref, zh_ref, *rest):
+        wrefs = rest[:j]
+        w_out, raw_out = rest[j], rest[j + 1]
+        iz, iy = pl.program_id(0), pl.program_id(1)
+        u = u_ref[...]
+        h = h_ref[...]                        # (P, tz, 1, 2, nx)
+        up = h[:, :, 0, 0, :][:, :, None, :]
+        dn = h[:, :, 0, 1, :][:, :, None, :]
+        zh = zh_ref[...]                      # (P, 1, 2, ty, nx)
+        zup = zh[:, 0, 0, :, :][:, None]
+        zdn = zh[:, 0, 1, :, :][:, None]
+        av = _stencil_3d_brick(u, up, dn, zup, zdn, iz * tz, iy * ty,
+                               tz, ty, nz, ny, nx, scale, sign, variant)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when((iz == 0) & (iy == 0))
+        def _():
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = u if idx == j else wrefs[idx][...]
+            re, im = _dots4(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    center = lambda iz, iy: (0, iz, iy, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
+        blkspec,
+        pl.BlockSpec((P, tz, 1, 2, nx), lambda iz, iy: (0, iz, iy, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, 1, 2, ty, nx), lambda iz, iy: (0, iz, 0, iy, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [blkspec for _ in range(j)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((j + 1, 2), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, nz, ny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 4, tz * ty, nx, P),
+        interpret=interpret,
+    )
 
 
 def gather_y_halos(a4, ty, variant):
@@ -297,15 +449,27 @@ def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
         bs = (betas[j - 1] * s[j - 1]) if j > 0 else jnp.float32(0.0)
         scal = jnp.stack([s[j].astype(jnp.float32),
                           bs.astype(jnp.float32)]).reshape(1, 2)
-        halos = gather_y_halos(as4(W[j]), ty, halo_variant)
-        args = [scal, as4(W[j]), halos]
-        if mode == "aniso3d":
-            if ty not in wyh_cache:
-                wyh_cache[ty] = _gather_wy_halos(wy4, ty)
-            args += [wx4, wy4, wyh_cache[ty], wz4]
-        args.extend(as4(a) for a in W[:j])
-        w, raw = _pass1y_call(j, P, nz, ny, nx, ty, scale, sign, variant,
-                              interpret, mode)(*args)
+        if ty >= 8:
+            halos = gather_y_halos(as4(W[j]), ty, halo_variant)
+            args = [scal, as4(W[j]), halos]
+            if mode == "aniso3d":
+                if ty not in wyh_cache:
+                    wyh_cache[ty] = _gather_wy_halos(wy4, ty)
+                args += [wx4, wy4, wyh_cache[ty], wz4]
+            args.extend(as4(a) for a in W[:j])
+            w, raw = _pass1y_call(j, P, nz, ny, nx, ty, scale, sign,
+                                  variant, interpret, mode)(*args)
+        else:
+            # 256^3-class late iterations: full-z slabs no longer fit —
+            # brick geometry with gathered z-halo planes (iso only; the
+            # dispatch gate guarantees mode == "iso3d" here)
+            assert mode == "iso3d", mode
+            tz, tyb = pick_brick3d(nz, ny, nx, j, P, 0)
+            halos = gather_y_halos(as4(W[j]), tyb, halo_variant)
+            zh = gather_z_halos(as4(W[j]), tz)
+            w, raw = _pass1zy_call(j, P, nz, ny, nx, tz, tyb, scale, sign,
+                                   variant, interpret)(
+                scal, as4(W[j]), halos, zh, *(as4(a) for a in W[:j]))
         w = w.reshape(P, R, nx)
         sv = jnp.stack([si.astype(jnp.float32) for si in s])     # (j+1,)
         proj = sv[:, None] * raw                                  # (j+1, 2)

@@ -630,4 +630,47 @@ def test_pick_ty3d_production_shapes():
     assert pick_ty3d(128, 128, 128, 8, 2, 4) >= 8      # 128^3 aniso
     assert pick_ty3d(128, 128, 128, 8, 1, 0) >= 8      # real fields (SG)
     assert pick_ty3d(64, 64, 128, 8, 2, 0) >= 8
-    assert pick_ty3d(256, 256, 256, 8, 2, 0) == 0      # 256^3: row-tiled
+    assert pick_ty3d(256, 256, 256, 8, 2, 0) == 0      # 256^3: bricks
+    # 256^3 iso must fall to the BRICK pass1, not the row-tiled kernels
+    # (round 4, VERDICT r3 next #4)
+    from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import pick_brick3d
+    brick = pick_brick3d(256, 256, 256, 8, 2, 0)
+    assert brick is not None
+    tz, ty = brick
+    assert tz >= 8 and ty >= 8 and 256 % tz == 0 and 256 % ty == 0
+
+
+def test_brick_pass1_matches_yslab_and_xla(interp_mode):
+    """The brick pass1 (`_pass1zy_call`, the 256^3-class geometry) must
+    reproduce the y-slab path exactly on a shape where both run. Forced by
+    shrinking the module's VMEM budget so pick_ty3d rejects the y-slab
+    while pick_brick3d still fits."""
+    from nlsolvers_tpu.ops.pallas import lanczos3d_pipe as l3
+    from nlsolvers_tpu.ops import krylov, operators
+
+    shape, m_kry = (16, 16, 128), 6
+    dx = 2.0 * 5.0 / (shape[-1] - 1)
+    rng = np.random.default_rng(61)
+    u = jnp.asarray(0.1 * rng.standard_normal(shape).astype(np.float32)
+                    + 1j * 0.1 * rng.standard_normal(shape
+                                                     ).astype(np.float32),
+                    jnp.complex64)
+    t = np.complex64(1e-3j)
+    for variant in ("reference", "clean"):
+        lap = operators.laplacian_3d(shape, dx, variant=variant,
+                                     dtype=jnp.float32)
+        ref = np.asarray(krylov.matfunc_apply(lap, u, t, "exp", m=m_kry))
+
+        old = l3._VMEM_BUDGET
+        try:
+            # small enough to reject even ty=8 slabs (double-buffered
+            # stream set ~2.8 MB at j=4), big enough for small bricks
+            l3._VMEM_BUDGET = 2**20
+            assert l3.pick_ty3d(16, 16, 128, m_kry - 2, 2, 0) == 0
+            assert l3.pick_brick3d(16, 16, 128, m_kry - 2, 2, 0) is not None
+            got = np.asarray(krylov.matfunc_apply(lap, u, t, "exp",
+                                                  m=m_kry))
+        finally:
+            l3._VMEM_BUDGET = old
+        np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5,
+                                   err_msg=variant)
