@@ -62,18 +62,23 @@ def lanczos_bytes(shape, m, planes, mode, n_specs=1):
                 if mode == "aniso2d":
                     total += 3 * wc
     else:                                                 # two-pass 3D
-        # Mirror lanczos_planar's dispatch: pass1 is the y-slab kernel
-        # (j+2 streams, 3 aniso weight cols — z-stencil internal to the
-        # (P, nz, ty, nx) blocks) only when pick_ty3d accepts the shape;
-        # otherwise the row-tiled kernels run (2 extra z-offset streams of
-        # W_j; aniso reads 4 full weight cols — wx, wy, wz at two z
-        # offsets; the wy halo rows are O(nx) and ignored as elsewhere).
-        from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import pick_ty3d
+        # Mirror lanczos_planar's dispatch per iteration: y-slab pass1
+        # (j+2 streams, 3 aniso weight cols — z-stencil internal) when
+        # pick_ty3d accepts the shape at that j; the BRICK pass1 for iso
+        # grids past the slab budget (also j+2 streams — both halo
+        # families are O(face), ignored like the 2D halo rows); otherwise
+        # the row-tiled kernels (2 extra z-offset streams of W_j; aniso
+        # reads 4 full weight cols — wx, wy, wz at two z offsets).
+        from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (pick_brick3d,
+                                                             pick_ty3d)
         nop_pipe = 0 if mode == "iso3d" else 4
-        yslab = pick_ty3d(shape[0], shape[1], shape[2], max(m - 2, 0),
-                          planes, nop_pipe) >= 8
         for j in range(m - 1):
-            total += (j + 2 + (0 if yslab else 2)) * sc   # pass1
+            yslab = pick_ty3d(shape[0], shape[1], shape[2], j, planes,
+                              nop_pipe) >= 8
+            brick = (not yslab and mode == "iso3d"
+                     and pick_brick3d(shape[0], shape[1], shape[2], j,
+                                      planes, 0) is not None)
+            total += (j + 2 + (0 if yslab or brick else 2)) * sc  # pass1
             if mode == "aniso3d":
                 total += (3 if yslab else 4) * wc
             total += (j + 3) * sc                         # pass2
@@ -159,12 +164,17 @@ def main():
         def step(s, i):
             return prob.step(s, i)
 
+        # materialize a SMALL slice only: the device computes the full
+        # state either way, but a full-array D2H readback through the axon
+        # tunnel costs seconds at 256^3 (134 MB) and once made this row
+        # look 3x slower than the step actually runs (tunnel rule:
+        # benchmarks/README.md)
         if prob.meta.get("planar_state", False):
             state = prob.init(u0)                 # planar (2, R, nx) f32
-            mat = lambda s: np.asarray(s)
+            mat = lambda s: np.asarray(s[:, :1, :8])
         else:
             state = unpack_complex(jnp.asarray(u0))
-            mat = lambda s: np.asarray(pack_complex(s))
+            mat = lambda s: np.asarray(pack_complex(s)[..., :1, :8])
         chunk = chunk or (2000 if len(shape) == 2 else 300)
         rates, _ = time_chunk(step, state, chunk, args.repeats, mat)
         med = float(np.median(rates))
@@ -183,7 +193,7 @@ def main():
                                          krylov_m=m_kry, dtype=jnp.float32)
         state = prob.init(jnp.asarray(u0), jnp.asarray(v0))
         rates, _ = time_chunk(prob.step, state, chunk, args.repeats,
-                              lambda s: np.asarray(s[0]))
+                              lambda s: np.asarray(s[0][:1, :8]))
         med = float(np.median(rates))
         emit(name, shape, med, rates, gautschi_bytes(shape, m_kry, mode))
 
@@ -221,7 +231,7 @@ def main():
             return step1(s, jnp.asarray(mf))
 
         rates, _ = time_chunk(step, jnp.asarray(u0), 100, args.repeats,
-                              lambda s: np.asarray(s))
+                              lambda s: np.asarray(s[:, :1, :8]))
         med = float(np.median(rates))
         emit(name, shape, med, rates, ss2_bytes(shape, m_kry, "iso3d"))
 

@@ -44,7 +44,11 @@ pallas_pipeline = True
 # of nz*ny/tile row-tiles. Default ON: measured on v5e (min of 5
 # interleaved reps, 128^3 m=10 matfunc) 5.20 ms vs the row-tiled
 # two-pass kernels' 5.87 ms — the row-tiled path runs program-grain
-# bound. Off -> the original row-tiled kernels (lanczos2d pass1/pass2).
+# bound. Round 4: iso grids whose full-z slabs exceed VMEM (256^3-class)
+# take the BRICK pass1 per iteration under this same flag (z- AND
+# y-tiled blocks with gathered z-halo planes, lanczos3d_pipe.
+# _pass1zy_call). Off -> the original row-tiled kernels
+# (lanczos2d pass1/pass2).
 pallas_ytile_3d = True
 
 # Pipelined SINGLE-PASS fused Lanczos for unsharded 3D grids (the y-slab
