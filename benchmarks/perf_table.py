@@ -75,12 +75,13 @@ def lanczos_bytes(shape, m, planes, mode, n_specs=1):
         for j in range(m - 1):
             yslab = pick_ty3d(shape[0], shape[1], shape[2], j, planes,
                               nop_pipe) >= 8
-            brick = (not yslab and mode == "iso3d"
+            nop_b = 0 if mode == "iso3d" else 5
+            brick = (not yslab
                      and pick_brick3d(shape[0], shape[1], shape[2], j,
-                                      planes, 0) is not None)
+                                      planes, nop_b) is not None)
             total += (j + 2 + (0 if yslab or brick else 2)) * sc  # pass1
             if mode == "aniso3d":
-                total += (3 if yslab else 4) * wc
+                total += (3 if yslab or brick else 4) * wc
             total += (j + 3) * sc                         # pass2
     total += m * sc + n_specs * sc                        # combine
     return total
@@ -255,9 +256,12 @@ def main():
     if "iso3d_256" in rows:
         # production-aspiration scale ("collect 2TB for 3d cases",
         # final_todo.txt:36): 256^3 complex64 state = 134 MB, m=10 Krylov
-        # basis ~1.5 GB — single chip, fused row-tiled kernels (the y-slab
-        # blocks exceed the VMEM budget at this nz)
+        # basis ~1.5 GB — single chip, brick pass1 geometry (round 4)
         nlse_row("nlse3d_256_ss2", (256, 256, 256), "iso3d", chunk=50)
+    if "aniso3d_256" in rows:
+        c6 = (1.0 + 0.4 * rng.random((256, 256, 256))).astype(np.float32)
+        nlse_row("nlse3d_256_ss2_aniso", (256, 256, 256), "aniso3d", c=c6,
+                 chunk=50)
 
 
 if __name__ == "__main__":

@@ -1330,12 +1330,12 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
         nop_pipe = 0 if mode == "iso3d" else 4
         jmax = max(m - 2, 0)
         fits_yslab = pick_ty3d(geom[0], geom[1], nx, jmax, P, nop_pipe) >= 8
-        # 256^3-class iso grids where the full-z slabs exceed VMEM take the
+        # 256^3-class grids where the full-z slabs exceed VMEM take the
         # brick pass1 (z- AND y-tiled, gathered z-halo planes) for the late
         # iterations; the two-pass driver picks per iteration.
-        fits_brick = (mode == "iso3d"
-                      and pick_brick3d(geom[0], geom[1], nx, jmax, P, 0)
-                      is not None)
+        nop_brick = 0 if mode == "iso3d" else 5
+        fits_brick = (pick_brick3d(geom[0], geom[1], nx, jmax, P,
+                                   nop_brick) is not None)
         if fits_yslab or fits_brick:
             weights = (wx, wym, wz) if mode == "aniso3d" else None
             if _cfg.pallas_pipeline_3d and fits_yslab:

@@ -221,24 +221,66 @@ def _stencil_3d_brick(u, up, dn, zup, zdn, z0, y0, tz, ty, nz, ny, nx,
     return (nb + diag * u) * (scale * sign)
 
 
+def _stencil_aniso_3d_brick(u, up, dn, zup, zdn, wx, wy, wyh, wz, wzh,
+                            scale, sign):
+    """Finite-volume div(c grad u) of a (P, tz, ty, nx) BRICK block.
+
+    Like `_stencil_aniso_3d_y` with z-brick faces: the -z/-z-weight planes
+    at the brick's first plane arrive as exact gathered halos `zup`/`wzh`
+    (zeros where the domain has no face), `zdn` the +z neighbor plane.
+    """
+    zc = jnp.zeros(u.shape[:3] + (1,), u.dtype)
+    u_r = jnp.concatenate([u[..., 1:], zc], axis=3)
+    fx = wx * (u_r - u)                                 # 0 at col nx-1
+    zc1 = jnp.zeros(fx.shape[:3] + (1,), fx.dtype)
+    fx_l = jnp.concatenate([zc1, fx[..., :-1]], axis=3)
+    below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+    fy = wy * (below - u)
+    above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+    wy_up = jnp.concatenate([wyh, wy[:, :, :-1, :]], axis=2)
+    fy_m1 = wy_up * (u - above)
+    z_below = jnp.concatenate([u[:, 1:], zdn], axis=1)
+    fz = wz * (z_below - u)
+    z_above = jnp.concatenate([zup, u[:, :-1]], axis=1)
+    wz_up = jnp.concatenate([wzh, wz[:, :-1]], axis=1)
+    fz_m = wz_up * (u - z_above)
+    return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+
+
+def gather_wz_halos(wz4, tz):
+    """-z face-weight halo planes (1, nzb, 1, ny, nx): brick k's first
+    plane uses the +z face weight at z = k*tz - 1; brick 0 has no -z face
+    (domain edge) — exact zeros."""
+    _, nz, ny, nx = wz4.shape
+    nzb = nz // tz
+    ks = np.arange(nzb)
+    wzh = jnp.take(wz4, jnp.asarray(np.maximum(ks * tz - 1, 0)), axis=1)
+    wzh = wzh.at[:, 0].set(jnp.zeros_like(wzh[:, 0]))
+    return wzh[:, :, None, :, :]                         # (1, nzb, 1, ny, nx)
+
+
 def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
-                  interpret):
+                  interpret, mode="iso3d"):
     """Two-pass pass1 on (P, tz, ty, nx) BRICKS — the 256^3-class geometry.
 
-    Same math as `_pass1y_call` mode iso3d, but with a 2D (nz/tz, ny/ty)
-    program grid and BOTH halo families gathered jnp-side: y-halo slabs
-    (seam-aware, `gather_y_halos`) and z-halo planes (`gather_z_halos`).
-    Restores the ~0.5-4 MB block-stream regime the y-slab kernels were
-    measured in at 128^3 when the full-z slabs no longer fit VMEM
-    (pick_ty3d returns 0 and the row-tiled kernels collapse to ~0.14 of
-    stream peak, VERDICT r3 weak #2)."""
+    Same math as `_pass1y_call`, but with a 2D (nz/tz, ny/ty) program grid
+    and BOTH halo families gathered jnp-side: y-halo slabs (seam-aware,
+    `gather_y_halos`) and z-halo planes (`gather_z_halos`); the aniso mode
+    additionally streams the face weights per brick with gathered -y/-z
+    face-weight halos. Restores the ~0.5-4 MB block-stream regime the
+    y-slab kernels were measured in at 128^3 when the full-z slabs no
+    longer fit VMEM (pick_ty3d returns 0 and the row-tiled kernels
+    collapse, VERDICT r3 weak #2)."""
     nzb, nyb = nz // tz, ny // ty
     grid = (nzb, nyb)
     blk = (P, tz, ty, nx)
+    wblk = (1, tz, ty, nx)
+    nop = {"iso3d": 0, "aniso3d": 5}[mode]
 
     def kernel(scal, u_ref, h_ref, zh_ref, *rest):
-        wrefs = rest[:j]
-        w_out, raw_out = rest[j], rest[j + 1]
+        ops_ = rest[:nop]
+        wrefs = rest[nop:nop + j]
+        w_out, raw_out = rest[nop + j], rest[nop + j + 1]
         iz, iy = pl.program_id(0), pl.program_id(1)
         u = u_ref[...]
         h = h_ref[...]                        # (P, tz, 1, 2, nx)
@@ -247,8 +289,15 @@ def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
         zh = zh_ref[...]                      # (P, 1, 2, ty, nx)
         zup = zh[:, 0, 0, :, :][:, None]
         zdn = zh[:, 0, 1, :, :][:, None]
-        av = _stencil_3d_brick(u, up, dn, zup, zdn, iz * tz, iy * ty,
-                               tz, ty, nz, ny, nx, scale, sign, variant)
+        if mode == "aniso3d":
+            av = _stencil_aniso_3d_brick(
+                u, up, dn, zup, zdn, ops_[0][...], ops_[1][...],
+                ops_[2][...][:, :, 0, :, :], ops_[3][...],
+                ops_[4][...][:, 0, :, :, :], scale, sign)
+        else:
+            av = _stencil_3d_brick(u, up, dn, zup, zdn, iz * tz, iy * ty,
+                                   tz, ty, nz, ny, nx, scale, sign,
+                                   variant)
         w = scal[0, 0] * av
         if j > 0:
             w = w - scal[0, 1] * wrefs[j - 1][...]
@@ -276,7 +325,20 @@ def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((P, 1, 2, ty, nx), lambda iz, iy: (0, iz, 0, iy, 0),
                      memory_space=pltpu.VMEM),
-    ] + [blkspec for _ in range(j)]
+    ]
+    if mode == "aniso3d":
+        wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
+        in_specs += [
+            wspec, wspec,                              # wx, wy
+            pl.BlockSpec((1, tz, 1, 1, nx),            # wy halo slabs
+                         lambda iz, iy: (0, iz, iy, 0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec,                                     # wz
+            pl.BlockSpec((1, 1, 1, ty, nx),            # wz halo planes
+                         lambda iz, iy: (0, iz, 0, iy, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs += [blkspec for _ in range(j)]
     out_specs = [
         blkspec,
         pl.BlockSpec((j + 1, 2), lambda iz, iy: (0, 0),
@@ -289,7 +351,7 @@ def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((P, nz, ny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
-        compiler_params=_compiler_params(j + 4, tz * ty, nx, P),
+        compiler_params=_compiler_params(j + 4 + nop, tz * ty, nx, P),
         interpret=interpret,
     )
 
@@ -461,15 +523,22 @@ def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
                                   variant, interpret, mode)(*args)
         else:
             # 256^3-class late iterations: full-z slabs no longer fit —
-            # brick geometry with gathered z-halo planes (iso only; the
-            # dispatch gate guarantees mode == "iso3d" here)
-            assert mode == "iso3d", mode
-            tz, tyb = pick_brick3d(nz, ny, nx, j, P, 0)
+            # brick geometry with gathered z-halo planes
+            nop_brick = 0 if mode == "iso3d" else 5
+            tz, tyb = pick_brick3d(nz, ny, nx, j, P, nop_brick)
             halos = gather_y_halos(as4(W[j]), tyb, halo_variant)
             zh = gather_z_halos(as4(W[j]), tz)
+            args = [scal, as4(W[j]), halos, zh]
+            if mode == "aniso3d":
+                if tyb not in wyh_cache:
+                    wyh_cache[tyb] = _gather_wy_halos(wy4, tyb)
+                if ("wz", tz) not in wyh_cache:
+                    wyh_cache[("wz", tz)] = gather_wz_halos(wz4, tz)
+                args += [wx4, wy4, wyh_cache[tyb], wz4,
+                         wyh_cache[("wz", tz)]]
+            args.extend(as4(a) for a in W[:j])
             w, raw = _pass1zy_call(j, P, nz, ny, nx, tz, tyb, scale, sign,
-                                   variant, interpret)(
-                scal, as4(W[j]), halos, zh, *(as4(a) for a in W[:j]))
+                                   variant, interpret, mode)(*args)
         w = w.reshape(P, R, nx)
         sv = jnp.stack([si.astype(jnp.float32) for si in s])     # (j+1,)
         proj = sv[:, None] * raw                                  # (j+1, 2)

@@ -656,9 +656,14 @@ def test_brick_pass1_matches_yslab_and_xla(interp_mode):
                                                      ).astype(np.float32),
                     jnp.complex64)
     t = np.complex64(1e-3j)
-    for variant in ("reference", "clean"):
-        lap = operators.laplacian_3d(shape, dx, variant=variant,
-                                     dtype=jnp.float32)
+    c = (1.0 + 0.4 * rng.random(shape)).astype(np.float32)
+    cases = [("reference", None), ("clean", None), ("aniso", c)]
+    for variant, cf in cases:
+        if cf is None:
+            lap = operators.laplacian_3d(shape, dx, variant=variant,
+                                         dtype=jnp.float32)
+        else:
+            lap = operators.anisotropic_laplacian_3d(cf, dx)
         ref = np.asarray(krylov.matfunc_apply(lap, u, t, "exp", m=m_kry))
 
         old = l3._VMEM_BUDGET
@@ -666,8 +671,11 @@ def test_brick_pass1_matches_yslab_and_xla(interp_mode):
             # small enough to reject even ty=8 slabs (double-buffered
             # stream set ~2.8 MB at j=4), big enough for small bricks
             l3._VMEM_BUDGET = 2**20
-            assert l3.pick_ty3d(16, 16, 128, m_kry - 2, 2, 0) == 0
-            assert l3.pick_brick3d(16, 16, 128, m_kry - 2, 2, 0) is not None
+            nop = 0 if cf is None else 4
+            nop_b = 0 if cf is None else 5
+            assert l3.pick_ty3d(16, 16, 128, m_kry - 2, 2, nop) == 0
+            assert l3.pick_brick3d(16, 16, 128, m_kry - 2, 2,
+                                   nop_b) is not None
             got = np.asarray(krylov.matfunc_apply(lap, u, t, "exp",
                                                   m=m_kry))
         finally:
