@@ -60,12 +60,20 @@ def main():
             return jnp.stack([jnp.real(y), jnp.imag(y)])
         return lax.fori_loop(0, CHUNK, body, up)
 
+    # NB the committed r04 "step" numbers (4.62 ms) measured the ROUND-3
+    # complex-state step; since the planar fast path landed, nlse_problem
+    # returns a planar-state problem on TPU, so the chain below is
+    # contract-aware (it now measures the CURRENT production step).
     prob = problems.nlse_problem("cubic", (n, n, n), 10.0, 1e-4,
                                  m_field=mf, krylov_m=M,
                                  dtype=jnp.complex64)
+    planar_prob = prob.meta.get("planar_state", False)
 
     def f_step(up):
         def body(_, up):
+            if planar_prob:
+                return prob.step(up.reshape(2, n * n * n // n, n), 1
+                                 ).reshape(up.shape)
             u = lax.complex(up[0], up[1])
             u = prob.step(u, 1)
             return jnp.stack([jnp.real(u), jnp.imag(u)])

@@ -84,11 +84,14 @@ def main():
         nat = nat_shape or (R, nx)
         u = jnp.asarray(0.1 * rng.standard_normal((P, R, nx))
                         .astype(np.float32))
-        old = {k: getattr(config, k) for k in flags}
+        old = {k: getattr(config, k) for k in flags if k != "_FUSED_ITER"}
         old_fi = l2._FUSED_ITER
         try:
             for k, v in flags.items():
-                setattr(config, k, v)
+                if k == "_FUSED_ITER":
+                    l2._FUSED_ITER = v
+                else:
+                    setattr(config, k, v)
             fused = np.asarray(jax.jit(
                 lambda x: matfunc_apply_planar_multi(
                     x, desc, spec, m, interpret=args.interpret))(u))
@@ -169,6 +172,8 @@ def main():
                pallas_pipeline_3d=True), nat_shape=s3)
     check("gautschi_multi", with_matvec(li2), 1, n2, n2, specs_g,
           dict(pallas_mode="on", pallas_pipeline=True))
+    check("fused_iter2d", with_matvec(li2), 2, n2, n2, specs_exp,
+          dict(pallas_mode="on", pallas_pipeline=False, _FUSED_ITER=True))
 
     if args.shard:
         shard_parity(results)

@@ -59,17 +59,25 @@ def main(n_grid=128, chunk=25, krylov_m=10):
             m_field=np.ones((n_grid, n_grid), np.float32),
             krylov_m=krylov_m, dtype=jnp.complex64)
         step = jax.vmap(lambda u: prob.step(u, 1))
+        planar = prob.meta.get("planar_state", False)
 
         def chunk_fn(up):
-            u = unpack_complex(up)                  # (B, n, n) complex
+            # planar problems (TPU fused path, round 4) take the packed
+            # (re, im) stack as state directly; complex otherwise
+            u = up if planar else unpack_complex(up)
             u = jax.lax.fori_loop(0, chunk, lambda i, s: step(s), u)
-            return pack_complex(u)
+            return u if planar else pack_complex(u)
 
         B = n                                       # weak: 1 traj/device
         rng = np.random.default_rng(0)
-        u0 = 0.1 * rng.standard_normal((2, B, n_grid, n_grid)).astype(
-            np.float32)
-        sharding = NamedSharding(mesh, P(None, "batch"))
+        if planar:                                  # (B, 2, n, n)
+            u0 = 0.1 * rng.standard_normal((n, 2, n_grid, n_grid)).astype(
+                np.float32)
+            sharding = NamedSharding(mesh, P("batch"))
+        else:
+            u0 = 0.1 * rng.standard_normal((2, n, n_grid, n_grid)).astype(
+                np.float32)
+            sharding = NamedSharding(mesh, P(None, "batch"))
         x = jax.device_put(jnp.asarray(u0), sharding)
         f = jax.jit(chunk_fn, out_shardings=sharding)
         np.asarray(f(x))                            # compile + warm

@@ -428,6 +428,48 @@ def _dots(P, Wi, w):
     return re, im
 
 
+def _deferred_norm_cgs(u, m, chat, gsum, safe_inv, pass1, pass2):
+    """Shared driver for the SHARDED deferred-norm unnormalized-CGS loops
+    (one psum per iteration + one final; exact norms one collective late).
+
+    pass1(j, scal, W) -> (w, raw) applies w = (A/chat) W_j fused with the
+    shard-local dots <W_i, w>; pass2(j, q, w, W) -> (wn, nsq2) subtracts
+    the CGS projections and emits the local ||W_{j+1}||^2. The scalar
+    recovery (packed psum, q = raw/||W_i||^2, T from Rayleigh quotients +
+    exact norm ratios) lives HERE so the 2D/row-tiled and 3D y-slab/brick
+    drivers cannot drift apart. Full derivation in lanczos_planar's
+    sharded branch comment."""
+    zero = jnp.float32(0.0)
+    scal = jnp.stack([(1.0 / chat).astype(jnp.float32),
+                      zero]).reshape(1, 2)
+    W = [u]
+    nsq_loc = jnp.sum(u * u)                 # local ||W_0||^2
+    nsqs = []                                # exact GLOBAL ||W_i||^2
+    at = []                                  # alpha-tilde (entries of T~)
+    for j in range(m - 1):
+        w, raw = pass1(j, scal, W)
+        packed = gsum(jnp.concatenate(
+            [raw, jnp.stack([nsq_loc.astype(jnp.float32), zero])[None]],
+            axis=0))
+        raw_g = packed[:j + 1]               # <W_i, A~ W_j> global
+        nsqs.append(packed[j + 1, 0])
+        invn = jnp.stack([jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1),
+                                    0.0) for n in nsqs])
+        q = invn[:, None] * raw_g            # CGS coefficients
+        at.append(q[j, 0])
+        wn, nsq2 = pass2(j, q, w, W)
+        nsq_loc = nsq2[0, 0]
+        W.append(wn)
+    nsqs.append(gsum(nsq_loc))               # final column's exact norm
+    s = [safe_inv(jnp.sqrt(n)) for n in nsqs]
+    beta0 = jnp.sqrt(nsqs[0])
+    alphas = [chat * a for a in at]
+    betas = [chat * jnp.sqrt(jnp.where(
+        nsqs[j] > 0, nsqs[j + 1] / jnp.where(nsqs[j] > 0, nsqs[j], 1),
+        0.0)) for j in range(m - 1)]
+    return W, s, alphas, betas, beta0
+
+
 def _pass1_call(j, P, ny, nx, tile, scale, sign, variant, interpret,
                 mode="iso2d", geom=None):
     """pallas_call computing w = s_j A W_j - bs W_{j-1} and raw dots
@@ -1375,41 +1417,19 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
                                    + jnp.max(wzp)), axis_names)
         chat = (ghat * abs(scale)).astype(jnp.float32) if hasattr(
             ghat, "astype") else jnp.float32(ghat * abs(scale))
-        zero = jnp.float32(0.0)
-        scal = jnp.stack([(1.0 / chat).astype(jnp.float32), zero]
-                         ).reshape(1, 2)
-        W = [u]
-        nsq_loc = jnp.sum(u * u)             # local ||W_0||^2
-        nsqs = []                            # exact GLOBAL ||W_i||^2
-        at = []                              # alpha-tilde (entries of T~)
-        for j in range(m - 1):
-            n_streams = j + 2 + n_op
-            tile = _pick_tile(tile_div, nx, n_streams, nplanes=P)
-            w, raw = _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
-                                 interpret, mode=mode, geom=geom)(
+
+        def p1(j, scal, W):
+            tile = _pick_tile(tile_div, nx, j + 2 + n_op, nplanes=P)
+            return _pass1_call(j, P, ny, nx, tile, scale, sign, variant,
+                               interpret, mode=mode, geom=geom)(
                 scal, *op_args(W[j], tile), *W[:j])
-            packed = gsum(jnp.concatenate(
-                [raw, jnp.stack([nsq_loc.astype(jnp.float32), zero])[None]],
-                axis=0))
-            raw_g = packed[:j + 1]           # <W_i, A~ W_j> global
-            nsqs.append(packed[j + 1, 0])
-            invn = jnp.stack([jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1),
-                                        0.0) for n in nsqs])
-            q = invn[:, None] * raw_g        # CGS coefficients
-            at.append(q[j, 0])
+
+        def p2(j, q, w, W):
             tile2 = _pick_tile(ny, nx, j + 4, nplanes=P)
-            wn, nsq2 = _pass2_call(j, P, ny, nx, tile2, interpret)(
+            return _pass2_call(j, P, ny, nx, tile2, interpret)(
                 q, w, *W[:j + 1])
-            nsq_loc = nsq2[0, 0]
-            W.append(wn)
-        nsqs.append(gsum(nsq_loc))           # final column's exact norm
-        s = [safe_inv(jnp.sqrt(n)) for n in nsqs]
-        beta0 = jnp.sqrt(nsqs[0])
-        alphas = [chat * a for a in at]
-        betas = [chat * jnp.sqrt(jnp.where(
-            nsqs[j] > 0, nsqs[j + 1] / jnp.where(nsqs[j] > 0, nsqs[j], 1),
-            0.0)) for j in range(m - 1)]
-        return W, s, alphas, betas, beta0
+
+        return _deferred_norm_cgs(u, m, chat, gsum, safe_inv, p1, p2)
 
     beta0 = jnp.sqrt(gsum(jnp.sum(u * u)))
     W = [u]

@@ -81,9 +81,9 @@ def pick_brick3d(nz, ny, nx, j, P, nop):
     for ty in range(8 * (ny // 8), 7, -8):
         if ny % ty:
             continue
-        for tz in range(nz, 0, -1):
-            if nz % tz:
-                continue
+        for tz in range(nz, 7, -1):   # tz >= 8: thinner-z bricks re-enter
+            if nz % tz:               # the program-grain-bound regime this
+                continue              # geometry exists to avoid
             blk = P * tz * ty * nx * 4
             halos = P * (tz * 2 + 2 * ty) * nx * 4
             if 2 * ((j + 5 + nop) * blk + halos) <= _VMEM_BUDGET:
@@ -846,15 +846,9 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
         ghat = lax.pmax(4.0 * (jnp.max(wx4) + jnp.max(wy4)
                                + jnp.max(wz4)), axis_names)
         chat = (ghat * abs(scale)).astype(jnp.float32)
-    zero = jnp.float32(0.0)
-    scal = jnp.stack([(1.0 / chat).astype(jnp.float32),
-                      zero]).reshape(1, 2)
-    W = [u]
-    nsq_loc = jnp.sum(u * u)
-    nsqs = []                            # exact GLOBAL ||W_i||^2
-    at = []
     nop = 3 if aniso is None else 6      # hc/z-slabs + diag | + wx/wy/wz
-    for j in range(m - 1):
+
+    def p1(j, scal, W):
         ty = pick_ty3d(lnz, lny, nx, j, P, nop)
         h, hc, zht, zhb = shard_halos(W[j], ty)
         if aniso is None:
@@ -870,29 +864,14 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
                 scal, as4(W[j]), h, hc, zht, zhb, wx4, wy4,
                 wyh_cache[ty], wz4, wzh4, wxl4,
                 *(as4(a) for a in W[:j]))
-        w = w.reshape(P, R, nx)
-        packed = gsum(jnp.concatenate(
-            [raw, jnp.stack([nsq_loc.astype(jnp.float32), zero])[None]],
-            axis=0))
-        raw_g = packed[:j + 1]
-        nsqs.append(packed[j + 1, 0])
-        invn = jnp.stack([jnp.where(n > 0, 1.0 / jnp.where(n > 0, n, 1),
-                                    0.0) for n in nsqs])
-        q = invn[:, None] * raw_g
-        at.append(q[j, 0])
+        return w.reshape(P, R, nx), raw
+
+    def p2(j, q, w, W):
         tile2 = _pick_tile(R, nx, j + 4, nplanes=P)
-        wn, nsq2 = _pass2_call(j, P, R, nx, tile2, interpret)(
-            q, w, *W[:j + 1])
-        nsq_loc = nsq2[0, 0]
-        W.append(wn)
-    nsqs.append(gsum(nsq_loc))
-    s = [safe_inv(jnp.sqrt(n)) for n in nsqs]
-    beta0 = jnp.sqrt(nsqs[0])
-    alphas = [chat * a for a in at]
-    betas = [chat * jnp.sqrt(jnp.where(
-        nsqs[j] > 0, nsqs[j + 1] / jnp.where(nsqs[j] > 0, nsqs[j], 1),
-        0.0)) for j in range(m - 1)]
-    return W, s, alphas, betas, beta0
+        return _pass2_call(j, P, R, nx, tile2, interpret)(q, w, *W[:j + 1])
+
+    from nlsolvers_tpu.ops.pallas.lanczos2d import _deferred_norm_cgs
+    return _deferred_norm_cgs(u, m, chat, gsum, safe_inv, p1, p2)
 
 
 def _pipe3d_call(j, P, nz, ny, nx, ty, scale, sign, variant, interpret,

@@ -198,6 +198,7 @@ class Datagen:
         # digest is derived from the config fields that determine what gets
         # archived, so it is identical on every host.
         det_id = f"{cfg.seed & 0xFFFFFFFF:08x}-{self._config_digest()}"
+        det_id = self._adopt_legacy_id(det_id)
         if self.nproc > 1:
             # deterministic id shared by all hosts (no bcast needed — the
             # reference bcasts rank 0's run id, submit_nlse.py:96-102)
@@ -322,6 +323,28 @@ class Datagen:
             integrator=cfg.integrator, krylov_m=cfg.krylov_m,
             dtype=np.dtype(cfg.dtype).type, variant=cfg.variant,
             guard=cfg.guard, record_energy=cfg.record_energy)
+
+    def _adopt_legacy_id(self, det_id):
+        """Resume migration: sweeps archived before the config digest was
+        folded into the run id used a plain 8-hex seed id. If resuming and
+        nothing exists under the new id but legacy files do, adopt the
+        legacy id so completed work is not silently redone. The decision
+        scans the shared output dir, so every host reaches the same answer
+        without a collective."""
+        cfg = self.cfg
+        if not cfg.resume and self.nproc <= 1:
+            return det_id
+        fmt = "h5" if cfg.archive_format == "hdf5" else "json"
+        arch = Path(cfg.output_dir) / cfg.archive_format
+        if next(arch.glob(f"run_{det_id}_*.{fmt}"), None) is not None:
+            return det_id
+        legacy = f"{cfg.seed & 0xFFFFFFFF:08x}"
+        if next(arch.glob(f"run_{legacy}_*.{fmt}"), None) is not None:
+            if self.pid == 0:
+                print(f"resume: adopting pre-digest run id {legacy} "
+                      f"(archives found under the legacy naming)")
+            return legacy
+        return det_id
 
     def _config_digest(self):
         """8-hex digest of every config field that shapes the archived data

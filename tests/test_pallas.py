@@ -669,8 +669,8 @@ def test_brick_pass1_matches_yslab_and_xla(interp_mode):
         old = l3._VMEM_BUDGET
         try:
             # small enough to reject even ty=8 slabs (double-buffered
-            # stream set ~2.8 MB at j=4), big enough for small bricks
-            l3._VMEM_BUDGET = 2**20
+            # stream set ~2.8 MB at j=4), big enough for 8x8 bricks
+            l3._VMEM_BUDGET = 2 * 2**20
             nop = 0 if cf is None else 4
             nop_b = 0 if cf is None else 5
             assert l3.pick_ty3d(16, 16, 128, m_kry - 2, 2, nop) == 0
