@@ -347,6 +347,18 @@ def cases():
         )
 
     u3, m3, c3 = ic_nlse_3d()
+    # 3D long-horizon drift sentinel (the 2D one is nlse_cubic_2d_long):
+    # nt=600 at 40^3 — slow BC-ordering or matfunc-convention drift on the
+    # ANISOTROPIC 3D operator shows up at nt~10^2-10^3, not 48 steps.
+    all_cases["nlse_cubic_3d_long"] = dict(
+        driver="nlse_cubic_driver_3d",
+        inputs=dict(u0=u3, m=m3, c=c3),
+        outputs=["traj"],
+        argv=lambda f, o: [N3, N3, N3, LX3, LX3, LX3, f["u0"], o["traj"],
+                           0.6, 600, SNAP3, f["m"], f["c"]],
+        params=dict(kind="nlse_cubic_3d_long", nx=N3, Lx=LX3, T=0.6, nt=600,
+                    num_snapshots=SNAP3, krylov_m=10),
+    )
     all_cases["nlse_cubic_3d"] = dict(
         driver="nlse_cubic_driver_3d",
         inputs=dict(u0=u3, m=m3, c=c3),

@@ -247,6 +247,22 @@ def test_golden_nlse_gautschi(case, kind):
     _check(traj, d)
 
 
+def test_golden_nlse_cubic_3d_long_horizon():
+    """nt=600 3D anisotropic drift sentinel (3D twin of the 2D nt=1200
+    case): slow error from BC-vs-step ordering or a matfunc convention on
+    the 3D operator accumulates past the short cases' horizon."""
+    d = _load("nlse_cubic_3d_long")
+    nt, snaps = int(d["nt"]), int(d["num_snapshots"])
+    dt = float(d["T"]) / nt
+    prob = nlse_problem("cubic", d["u0"].shape, float(d["Lx"]), dt,
+                        m_field=d["m"], c_field=d["c"],
+                        krylov_m=int(d["krylov_m"]), dtype=jnp.complex128)
+    traj = run(prob, prob.init(d["u0"]), snaps, nt // snaps)
+    # 12.5x the steps of the short 3D case; same relaxation as the 2D
+    # long-horizon sentinel (roundoff accumulates ~sqrt(nt))
+    _check(traj, d, tol_last=1e-6)
+
+
 def test_golden_nlse_cubic_gautschi_3d_anisotropic():
     """3D + complex + Gautschi bootstrap — the most failure-prone untested
     combination until round 4. Replays nlse_cubic_gautschi_driver_3d.cpp:
