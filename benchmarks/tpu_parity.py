@@ -21,6 +21,8 @@ Families:
   pipe3d_iso                    opt-in single-pass 3D pipe
   fused_iter2d                  opt-in single-kernel 2D iteration
   gautschi_multi                P=1 two-spec combine (realwave path)
+  brick3d_iso / _aniso          the 256^3-class brick pass1, forced via a
+                                shrunken VMEM budget at small shapes
   shard3d_iso / _aniso          sharded y-slab kernels on a 1x1x1 mesh
                                 (--shard; compile-heavy, ~minutes)
 """
@@ -174,6 +176,22 @@ def main():
           dict(pallas_mode="on", pallas_pipeline=True))
     check("fused_iter2d", with_matvec(li2), 2, n2, n2, specs_exp,
           dict(pallas_mode="on", pallas_pipeline=False, _FUSED_ITER=True))
+    # brick pass1 (the 256^3 geometry) forced at this small shape by
+    # shrinking the 3D module's VMEM budget below the y-slab requirement
+    from nlsolvers_tpu.ops.pallas import lanczos3d_pipe as l3
+    old_budget = l3._VMEM_BUDGET
+    try:
+        l3._VMEM_BUDGET = 4 * 2**20
+        assert l3.pick_ty3d(s3[0], s3[1], s3[2], m - 2, 2, 0) == 0
+        assert l3.pick_brick3d(s3[0], s3[1], s3[2], m - 2, 2, 0)
+        check("brick3d_iso", with_matvec(li3), 2, R3, s3[2], specs_exp,
+              dict(pallas_mode="on", pallas_ytile_3d=True,
+                   pallas_pipeline_3d=False), nat_shape=s3)
+        check("brick3d_aniso", with_matvec(la3), 2, R3, s3[2], specs_exp,
+              dict(pallas_mode="on", pallas_ytile_3d=True,
+                   pallas_pipeline_3d=False), nat_shape=s3)
+    finally:
+        l3._VMEM_BUDGET = old_budget
 
     if args.shard:
         shard_parity(results)

@@ -556,8 +556,8 @@ def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
 
 def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
     """Sharded y-slab pass1 (7-point iso Laplacian on a SHARDED 3D grid):
-    w = s_j·A(W_j) − bs·W_{j-1} fused with the shard-local projection dots
-    (the caller psums them).
+    w = (A/chat)·W_j fused with the shard-local projection dots (the
+    caller psums them; deferred-norm CGS, scal = [1/chat, 0]).
 
     All boundary/seam structure lives in jnp-side data, so the kernel has
     NO masks: `diag` is the per-cell variant diagonal from global
