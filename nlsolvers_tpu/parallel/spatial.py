@@ -634,11 +634,6 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
     spatial_axes = tuple(range(1, len(global_shape) + 1))
     all_finite = _guard_helpers(axis_names)
 
-    def mass_of(state):
-        u = state[0] if two_state else state
-        local = jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV   # (B,)
-        return lax.psum(local, axis_names)
-
     if use_c:
         aniso = _sharded_aniso(global_shape, dx, axis_names, variant)
     else:
@@ -653,6 +648,45 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
         op._pallas_desc = _aniso_desc(global_shape, dx, axis_names,
                                       variant, cloc, sign=1.0)
         return op
+
+    # Planar fast path (round 4): ss2 complex64 trajectories keep the
+    # state as (2, *local) float32 through the whole scan — same decision
+    # and structure as make_sharded_nlse_step / pipeline/engine.
+    lshape = tuple(g // int(mesh.shape[a])
+                   for g, a in zip(global_shape, axis_names))
+    use_planar = False
+    if integrator == "ss2" and dtype == jnp.complex64 and reorth:
+        from nlsolvers_tpu.config import pallas_dispatch
+        from nlsolvers_tpu.ops.pallas.lanczos2d import supported_desc
+        probe = (_aniso_desc(global_shape, dx, axis_names, variant,
+                             np.ones(lshape, np.float32), 1.0) if use_c
+                 else getattr(lap, "_pallas_desc", None))
+        use_pl, pl_interp = pallas_dispatch()
+        use_planar = bool(use_pl and supported_desc(probe, lshape, dtype))
+    Rl, nxl = int(np.prod(lshape[:-1])), lshape[-1]
+
+    def mass_of(state):
+        if use_planar:
+            axes = tuple(range(1, len(lshape) + 2))
+            local = jnp.sum(state * state, axis=axes) * dV         # (B,)
+        else:
+            u = state[0] if two_state else state
+            local = jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV
+        return lax.psum(local, axis_names)
+
+    def single_step_planar(up, i, mloc, cloc):    # up (2,) + lshape
+        del i
+        from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
+        desc = (_aniso_desc(global_shape, dx, axis_names, variant, cloc,
+                            1.0) if use_c else lap._pallas_desc)
+        if len(global_shape) == 3:
+            desc = dict(desc, lnz=lshape[0], lny=lshape[1])
+        rho = nlse_density_planar(kind, mloc.reshape(Rl, nxl),
+                                  sigma1=sigma1, sigma2=sigma2, kappa=kappa)
+        upr = nlse_mod.ss2_step_planar(up.reshape(2, Rl, nxl), desc, rho,
+                                       dt, m=krylov_m, interpret=pl_interp,
+                                       axis_names=axis_names)
+        return neumann(upr.reshape((2,) + lshape))
 
     def single_step(state, i, mloc, cloc):
         op = op_of(cloc)
@@ -682,7 +716,8 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
         u_new, u_prev_new = lax.cond(i == 1, boot, normal, None)
         return neumann(u_new), u_prev_new
 
-    vstep = jax.vmap(single_step, in_axes=(0, None, 0, 0))
+    vstep = jax.vmap(single_step_planar if use_planar else single_step,
+                     in_axes=(0, None, 0, 0))
     # batch dim is always present (sharded over batch_axis or replicated)
     u_spec = P(batch_axis, None, *axis_names)
     f_spec = P(batch_axis, *axis_names)
@@ -691,14 +726,20 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
     @partial(jax.jit, static_argnums=(3, 4))
     def traj(u0_packed, m, c, num_snapshots, snapshot_freq):
         def local(u0p, mloc, cloc):
-            u0 = lax.complex(u0p[:, 0].astype(rdtype),
-                             u0p[:, 1].astype(rdtype))
-            state0 = (u0, u0) if two_state else u0
-            observe = (lambda s: s[0]) if two_state else (lambda s: s)
+            if use_planar:
+                state0 = u0p.astype(rdtype)                # (B, 2, *local)
+                observe = lambda s: s
+            else:
+                u0 = lax.complex(u0p[:, 0].astype(rdtype),
+                                 u0p[:, 1].astype(rdtype))
+                state0 = (u0, u0) if two_state else u0
+                observe = (lambda s: s[0]) if two_state else (lambda s: s)
             step = lambda st, i: vstep(st, i, mloc, cloc)
 
             def pack(snaps):
                 snaps = jnp.moveaxis(snaps, 0, 1)          # (B, S, *local)
+                if use_planar:                             # already planar
+                    return snaps
                 return jnp.stack([jnp.real(snaps), jnp.imag(snaps)],
                                  axis=2)
 
