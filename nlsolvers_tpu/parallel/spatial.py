@@ -655,7 +655,8 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
     lshape = tuple(g // int(mesh.shape[a])
                    for g, a in zip(global_shape, axis_names))
     use_planar = False
-    if integrator == "ss2" and dtype == jnp.complex64 and reorth:
+    if (integrator in ("ss2", "sewi", "sewi_fused", "gautschi")
+            and dtype == jnp.complex64 and reorth):
         from nlsolvers_tpu.config import pallas_dispatch
         from nlsolvers_tpu.ops.pallas.lanczos2d import supported_desc
         probe = (_aniso_desc(global_shape, dx, axis_names, variant,
@@ -667,15 +668,15 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
 
     def mass_of(state):
         if use_planar:
+            up = state[0] if two_state else state
             axes = tuple(range(1, len(lshape) + 2))
-            local = jnp.sum(state * state, axis=axes) * dV         # (B,)
+            local = jnp.sum(up * up, axis=axes) * dV               # (B,)
         else:
             u = state[0] if two_state else state
             local = jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV
         return lax.psum(local, axis_names)
 
-    def single_step_planar(up, i, mloc, cloc):    # up (2,) + lshape
-        del i
+    def single_step_planar(state, i, mloc, cloc):
         from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
         desc = (_aniso_desc(global_shape, dx, axis_names, variant, cloc,
                             1.0) if use_c else lap._pallas_desc)
@@ -683,10 +684,35 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
             desc = dict(desc, lnz=lshape[0], lny=lshape[1])
         rho = nlse_density_planar(kind, mloc.reshape(Rl, nxl),
                                   sigma1=sigma1, sigma2=sigma2, kappa=kappa)
-        upr = nlse_mod.ss2_step_planar(up.reshape(2, Rl, nxl), desc, rho,
-                                       dt, m=krylov_m, interpret=pl_interp,
-                                       axis_names=axis_names)
-        return neumann(upr.reshape((2,) + lshape))
+
+        def fix(upr):
+            return neumann(upr.reshape((2,) + lshape))
+
+        if integrator == "ss2":
+            upr = nlse_mod.ss2_step_planar(state.reshape(2, Rl, nxl), desc,
+                                           rho, dt, m=krylov_m,
+                                           interpret=pl_interp,
+                                           axis_names=axis_names)
+            return fix(upr)
+        if integrator == "gautschi":
+            two_step = nlse_mod.gautschi_step_planar
+        else:
+            two_step = partial(nlse_mod.sewi_step_planar,
+                               fuse_exp_sinc=integrator == "sewi_fused")
+        up = state[0].reshape(2, Rl, nxl)
+        up_prev = state[1].reshape(2, Rl, nxl)
+
+        def boot(_):
+            return (nlse_mod.ss2_step_planar(up, desc, rho, dt, m=krylov_m,
+                                             interpret=pl_interp,
+                                             axis_names=axis_names), up)
+
+        def normal(_):
+            return two_step(up, up_prev, desc, rho, dt, m=krylov_m,
+                            interpret=pl_interp, axis_names=axis_names)
+
+        u_new, u_prev_new = lax.cond(i == 1, boot, normal, None)
+        return fix(u_new), u_prev_new.reshape((2,) + lshape)
 
     def single_step(state, i, mloc, cloc):
         op = op_of(cloc)
@@ -727,8 +753,9 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
     def traj(u0_packed, m, c, num_snapshots, snapshot_freq):
         def local(u0p, mloc, cloc):
             if use_planar:
-                state0 = u0p.astype(rdtype)                # (B, 2, *local)
-                observe = lambda s: s
+                up0 = u0p.astype(rdtype)                   # (B, 2, *local)
+                state0 = (up0, up0) if two_state else up0
+                observe = (lambda s: s[0]) if two_state else (lambda s: s)
             else:
                 u0 = lax.complex(u0p[:, 0].astype(rdtype),
                                  u0p[:, 1].astype(rdtype))

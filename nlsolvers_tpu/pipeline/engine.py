@@ -117,7 +117,8 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
     # benchmarks/exp3d_step_r04.py). Falls back to the complex path when
     # the kernels don't qualify for this shape/config.
     use_planar = False
-    if (integrator == "ss2" and dtype == jnp.complex64
+    if (integrator in ("ss2", "sewi", "sewi_fused", "gautschi")
+            and dtype == jnp.complex64
             and boundary in ("noflux", "none") and reorth):
         from nlsolvers_tpu.config import pallas_dispatch
         from nlsolvers_tpu.ops.pallas.lanczos2d import supported_desc
@@ -128,18 +129,41 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
                                                     dtype))
     R_rows = int(np.prod(shape[:-1]))
 
-    def single_step_planar(up, i, m_f, c_f):
-        del i
+    def single_step_planar(state, i, m_f, c_f):
         lap = lap_of(c_f)
+        desc = lap._pallas_desc
         from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
         rho = nlse_density_planar(kind, m_f.reshape(R_rows, nx),
                                   sigma1=sigma1, sigma2=sigma2, kappa=kappa)
-        up = nlse_mod.ss2_step_planar(up, lap._pallas_desc, rho, dt,
-                                      m=krylov_m, interpret=pl_interpret)
-        if boundary == "noflux" and apply_bc:
-            up = apply_boundary(up.reshape((2,) + shape),
-                                m_f).reshape(2, R_rows, nx)
-        return up
+
+        def fix(up):
+            if boundary == "noflux" and apply_bc:
+                return apply_boundary(up.reshape((2,) + shape),
+                                      m_f).reshape(2, R_rows, nx)
+            return up
+
+        if integrator == "ss2":
+            up = nlse_mod.ss2_step_planar(state, desc, rho, dt,
+                                          m=krylov_m,
+                                          interpret=pl_interpret)
+            return fix(up)
+        if integrator == "gautschi":
+            two_step = nlse_mod.gautschi_step_planar
+        else:
+            two_step = partial(nlse_mod.sewi_step_planar,
+                               fuse_exp_sinc=integrator == "sewi_fused")
+        up, up_prev = state
+
+        def boot(_):
+            return (nlse_mod.ss2_step_planar(up, desc, rho, dt, m=krylov_m,
+                                             interpret=pl_interpret), up)
+
+        def normal(_):
+            return two_step(up, up_prev, desc, rho, dt, m=krylov_m,
+                            interpret=pl_interpret)
+
+        u_new, u_prev_new = lax.cond(i == 1, boot, normal, None)
+        return fix(u_new), u_prev_new
 
     def single_step(state, i, m_f, c_f):
         lap = lap_of(c_f)
@@ -176,16 +200,18 @@ def make_nlse_trajectory_fn(kind, shape, Lx, dt, *, integrator="ss2",
 
     def mass_of(state):
         if use_planar:
-            return jnp.sum(state * state, axis=(1, 2, 3)) * dV    # (B,)
+            up = state[0] if two_state else state
+            return jnp.sum(up * up, axis=(1, 2, 3)) * dV          # (B,)
         u = state[0] if two_state else state
         return jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV   # (B,)
 
     @partial(jax.jit, static_argnums=(3, 4))
     def traj(u0_packed, m, c, num_snapshots, snapshot_freq):
         if use_planar:
-            state0 = u0_packed.reshape(
+            up0 = u0_packed.reshape(
                 u0_packed.shape[:2] + (R_rows, nx)).astype(rdtype)
-            observe = lambda s: s
+            state0 = (up0, up0) if two_state else up0
+            observe = (lambda s: s[0]) if two_state else (lambda s: s)
         else:
             u0 = lax.complex(u0_packed[:, 0].astype(rdtype),
                              u0_packed[:, 1].astype(rdtype))

@@ -152,6 +152,70 @@ def test_problem_step_with_pallas(interp_mode):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("integrator", ["sewi", "sewi_fused", "gautschi"])
+def test_problem_two_step_planar_matches_complex(interp_mode, integrator):
+    """Round 5: the two-step integrators (sEWI — the reference's second
+    production NLSE integrator, nlse_dev.hpp:205-238 — its fused variant,
+    and the comparison Gautschi) run the PLANAR fast path; several steps
+    (including the i==1 SS2 bootstrap) must match the complex XLA problem
+    built with the kernels disabled."""
+    from nlsolvers_tpu.models import problems
+
+    n = 128
+    kw = dict(m_field=np.ones((n, n), np.float32), krylov_m=6,
+              dtype=jnp.complex64, integrator=integrator)
+    prob = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3, **kw)
+    assert prob.meta["planar_state"]
+    x = np.linspace(-5, 5, n, dtype=np.float32)
+    env = np.exp(-(x[:, None]**2 + x[None, :]**2) / 4)
+    u0c = (env * np.exp(0.4j * x[None, :])).astype(np.complex64)
+    s = prob.init(u0c)
+    assert isinstance(s, tuple) and s[0].dtype == jnp.float32
+    for i in range(4):
+        s = jax.jit(prob.step)(s, i + 1)
+    got = np.asarray(prob.observe(s))
+
+    config.pallas_mode = "off"
+    prob_ref = problems.nlse_problem("cubic", (n, n), 5.0, 1e-3, **kw)
+    assert not prob_ref.meta["planar_state"]
+    sr = prob_ref.init(u0c)
+    for i in range(4):
+        sr = jax.jit(prob_ref.step)(sr, i + 1)
+    ref = np.asarray(prob_ref.observe(sr))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_two_step_planar_matches_engine(interp_mode):
+    """Sharded planar sEWI: the grid-sharded trajectory engine on a 2x4
+    mesh (planar two-step state inside shard_map) must match the unsharded
+    complex engine."""
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+    from nlsolvers_tpu.pipeline.engine import make_nlse_trajectory_fn
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("gy", "gx"))
+    N, B, S, freq = 256, 1, 3, 2
+    rng = np.random.default_rng(31)
+    u0 = 0.1 * rng.standard_normal((B, 2, N, 512)).astype(np.float32)
+    m = (1.0 + 0.1 * rng.random((B, N, 512))).astype(np.float32)
+    c = (1.0 + 0.3 * rng.random((B, N, 512))).astype(np.float32)
+
+    traj_fn = spatial.make_sharded_nlse_trajectory_fn(
+        "cubic", (N, 512), 5.0, 1e-3, mesh, axis_names=("gy", "gx"),
+        integrator="sewi", krylov_m=6, dtype=jnp.complex64,
+        variant="clean")
+    got = np.asarray(traj_fn(u0, m, c, S, freq))
+
+    config.pallas_mode = "off"
+    ref_fn = make_nlse_trajectory_fn("cubic", (N, 512), 5.0, 1e-3,
+                                     integrator="sewi", krylov_m=6,
+                                     dtype=jnp.complex64, variant="clean")
+    ref = np.asarray(ref_fn(u0, m, c, S, freq))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
 def test_engine_planar_trajectory_matches_complex(interp_mode):
     """Engine-level planar fast path (pipeline/engine ss2 branch): a full
     guarded 3D anisotropic batch trajectory, planar vs the complex XLA
