@@ -174,6 +174,62 @@ def main():
                pallas_pipeline_3d=True), nat_shape=s3)
     check("gautschi_multi", with_matvec(li2), 1, n2, n2, specs_g,
           dict(pallas_mode="on", pallas_pipeline=True))
+
+    def check_sewi(name, lap, shape, fuse=False):
+        """Step-level planar sEWI vs the complex XLA sewi_step (round 5:
+        the planar two-step path, models/nlse.sewi_step_planar) — B-term,
+        three matfuncs (two when fused), and the planar i-rotation combine
+        all exercised on-chip."""
+        from nlsolvers_tpu.models import nlse as nlse_mod
+        from nlsolvers_tpu.models.nonlinearities import (nlse_density,
+                                                         nlse_density_planar)
+        R, nx = int(np.prod(shape[:-1])), shape[-1]
+        u = 0.1 * rng.standard_normal((2, R, nx)).astype(np.float32)
+        mf = np.ones(shape, np.float32)
+        dt = 1e-3
+        desc = dict(lap._pallas_desc)
+        rho_p = nlse_density_planar("cubic", jnp.asarray(mf.reshape(R, nx)))
+
+        def fused_fn(x):
+            up, upp = x, x
+            for _ in range(2):
+                up, upp = nlse_mod.sewi_step_planar(
+                    up, upp, desc, rho_p, dt, m=m,
+                    interpret=args.interpret, fuse_exp_sinc=fuse)
+            return up
+
+        old_mode = config.pallas_mode
+        config.pallas_mode = "on"
+        try:
+            fused = np.asarray(jax.jit(fused_fn)(jnp.asarray(u)))
+        finally:
+            config.pallas_mode = old_mode
+        rho_c = nlse_density("cubic", jnp.asarray(mf))
+
+        def ref_fn(x):
+            z = jax.lax.complex(x[0], x[1]).reshape(shape)
+            zp = z
+            for _ in range(2):
+                z, zp = nlse_mod.sewi_step(z, zp, lap, rho_c, dt, m=m,
+                                           fuse_exp_sinc=fuse)
+            z = z.reshape(R, nx)
+            return jnp.stack([jnp.real(z), jnp.imag(z)])
+
+        config.pallas_mode = "off"
+        try:
+            ref = np.asarray(jax.jit(ref_fn)(jnp.asarray(u)))
+        finally:
+            config.pallas_mode = old_mode
+        e = rel_l2(fused, ref)
+        bad = int(np.sum(np.abs(fused - ref) > RTOL * np.abs(ref) + ATOL))
+        rec = dict(family=name, rel_l2=[round(e, 9)],
+                   ok=bool(bad == 0 and np.isfinite(fused).all()))
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    check_sewi("sewi2d_step", li2, (n2, n2))
+    check_sewi("sewi2d_step_fused", li2, (n2, n2), fuse=True)
+    check_sewi("sewi3d_step", li3, s3)
     check("fused_iter2d", with_matvec(li2), 2, n2, n2, specs_exp,
           dict(pallas_mode="on", pallas_pipeline=False, _FUSED_ITER=True))
     # brick pass1 (the 256^3 geometry) forced at this small shape by
