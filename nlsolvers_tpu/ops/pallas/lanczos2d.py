@@ -1352,12 +1352,18 @@ def lanczos_planar(u, desc, m, interpret=False, axis_names=()):
     if (_cfg.pallas_ytile_3d and m > 1
             and axis_names and kind in ("shard3d", "shard3d_aniso")):
         from nlsolvers_tpu.ops.pallas.lanczos3d_pipe import (
-            lanczos_twopass3d_y_sharded, pick_ty3d)
+            lanczos_twopass3d_y_sharded, pick_brick3d, pick_ty3d)
         # extra block-equivalent streams beyond av/W/out: hc + z-slabs +
         # diag (iso) or + wx/wy/wz face-weight columns (aniso)
         nop_ys = 3 if kind == "shard3d" else 6
-        if pick_ty3d(desc["lnz"], desc["lny"], nx, max(m - 2, 0), P,
-                     nop_ys) >= 8:
+        nop_brick = 1 if kind == "shard3d" else 6
+        jmax = max(m - 2, 0)
+        # 256^3-class LOCAL shards (512^3 on 2x2x2): when the full-z y-slab
+        # blocks exceed VMEM the driver drops to the brick pass1 per
+        # iteration instead of collapsing to the row-tiled kernels (r5)
+        if (pick_ty3d(desc["lnz"], desc["lny"], nx, jmax, P, nop_ys) >= 8
+                or pick_brick3d(desc["lnz"], desc["lny"], nx, jmax, P,
+                                nop_brick) is not None):
             aniso_w = (None if kind == "shard3d" else
                        (wxp, wyp, wy_top, wxl, wzp, wzh, plane_splice))
             return lanczos_twopass3d_y_sharded(u, m, P, ny, nx, scale, sign,

@@ -96,22 +96,6 @@ def pick_brick3d(nz, ny, nx, j, P, nop):
     return best
 
 
-def gather_z_halos(a4, tz):
-    """Per-z-brick halo planes of a (P, nz, ny, nx) field:
-    (P, nzb, 2, ny, nx) where [:, k, 0] is the plane above brick k and
-    [:, k, 1] the plane below — exact zeros at the domain ends (no-flux;
-    the reference 3D operator has no z-seam, its merged seam is in y)."""
-    Pp, nz, ny, nx = a4.shape
-    nzb = nz // tz
-    ks = np.arange(nzb)
-    up = jnp.take(a4, jnp.asarray(np.maximum(ks * tz - 1, 0)), axis=1)
-    dn = jnp.take(a4, jnp.asarray(np.minimum((ks + 1) * tz, nz - 1)),
-                  axis=1)                                # (P, nzb, ny, nx)
-    zplane = jnp.zeros_like(up[:, 0])
-    up = up.at[:, 0].set(zplane)
-    dn = dn.at[:, nzb - 1].set(zplane)
-    return jnp.stack([up, dn], axis=2)                   # (P, nzb, 2, ny, nx)
-
 
 def _dots4(P, Wi, w):
     """Inner-product partials of a (P, nz, ty, nx) block pair."""
@@ -247,37 +231,31 @@ def _stencil_aniso_3d_brick(u, up, dn, zup, zdn, wx, wy, wyh, wz, wzh,
     return (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
 
 
-def gather_wz_halos(wz4, tz):
-    """-z face-weight halo planes (1, nzb, 1, ny, nx): brick k's first
-    plane uses the +z face weight at z = k*tz - 1; brick 0 has no -z face
-    (domain edge) — exact zeros."""
-    _, nz, ny, nx = wz4.shape
-    nzb = nz // tz
-    ks = np.arange(nzb)
-    wzh = jnp.take(wz4, jnp.asarray(np.maximum(ks * tz - 1, 0)), axis=1)
-    wzh = wzh.at[:, 0].set(jnp.zeros_like(wzh[:, 0]))
-    return wzh[:, :, None, :, :]                         # (1, nzb, 1, ny, nx)
-
 
 def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
                   interpret, mode="iso3d"):
     """Two-pass pass1 on (P, tz, ty, nx) BRICKS — the 256^3-class geometry.
 
-    Same math as `_pass1y_call`, but with a 2D (nz/tz, ny/ty) program grid
-    and BOTH halo families gathered jnp-side: y-halo slabs (seam-aware,
-    `gather_y_halos`) and z-halo planes (`gather_z_halos`); the aniso mode
-    additionally streams the face weights per brick with gathered -y/-z
-    face-weight halos. Restores the ~0.5-4 MB block-stream regime the
-    y-slab kernels were measured in at 128^3 when the full-z slabs no
-    longer fit VMEM (pick_ty3d returns 0 and the row-tiled kernels
-    collapse, VERDICT r3 weak #2)."""
+    Same math as `_pass1y_call`, but with a 2D (nz/tz, ny/ty) program grid.
+    The y-halo slabs arrive gathered jnp-side (seam-aware,
+    `gather_y_halos` — they are thin rows); the z-halo planes are streamed
+    DIRECTLY from the W_j array via clamped block index maps (plane
+    iz*tz-1 / (iz+1)*tz) with the domain-end zeros applied in-kernel from
+    the global-z iota — round 5: the round-4 version gathered them with
+    jnp.take/.at.set, which cost ~0.8 ms/iteration of XLA gather+copy
+    traffic at 256^3, the bulk of the 0.62-of-peak gap (VERDICT r4 next
+    #1; measured in benchmarks/exp256_r05.py + /tmp gather probes). The
+    aniso mode streams the face weights per brick, with the -z face weight
+    (wz at plane iz*tz-1) streamed the same clamped way. Restores the
+    ~0.5-4 MB block-stream regime the y-slab kernels run in at 128^3 when
+    the full-z slabs no longer fit VMEM (pick_ty3d returns 0)."""
     nzb, nyb = nz // tz, ny // ty
     grid = (nzb, nyb)
     blk = (P, tz, ty, nx)
     wblk = (1, tz, ty, nx)
     nop = {"iso3d": 0, "aniso3d": 5}[mode]
 
-    def kernel(scal, u_ref, h_ref, zh_ref, *rest):
+    def kernel(scal, u_ref, h_ref, zup_ref, zdn_ref, *rest):
         ops_ = rest[:nop]
         wrefs = rest[nop:nop + j]
         w_out, raw_out = rest[nop + j], rest[nop + j + 1]
@@ -286,14 +264,17 @@ def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
         h = h_ref[...]                        # (P, tz, 1, 2, nx)
         up = h[:, :, 0, 0, :][:, :, None, :]
         dn = h[:, :, 0, 1, :][:, :, None, :]
-        zh = zh_ref[...]                      # (P, 1, 2, ty, nx)
-        zup = zh[:, 0, 0, :, :][:, None]
-        zdn = zh[:, 0, 1, :, :][:, None]
+        # clamped streams carry a real neighbor plane everywhere; the
+        # missing-neighbor zeros at the domain ends are scalar per-program
+        # conditions (brick 0's up-plane, the last brick's down-plane)
+        zup = jnp.where(iz == 0, 0.0, zup_ref[...])
+        zdn = jnp.where(iz == nzb - 1, 0.0, zdn_ref[...])
         if mode == "aniso3d":
+            wz_up = jnp.where(iz == 0, 0.0, ops_[4][...])
             av = _stencil_aniso_3d_brick(
                 u, up, dn, zup, zdn, ops_[0][...], ops_[1][...],
                 ops_[2][...][:, :, 0, :, :], ops_[3][...],
-                ops_[4][...][:, 0, :, :, :], scale, sign)
+                wz_up, scale, sign)
         else:
             av = _stencil_3d_brick(u, up, dn, zup, zdn, iz * tz, iy * ty,
                                    tz, ty, nz, ny, nx, scale, sign,
@@ -317,14 +298,17 @@ def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
 
     center = lambda iz, iy: (0, iz, iy, 0)
     blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    zplane = (P, 1, ty, nx)
+    zup_map = lambda iz, iy: (0, jnp.maximum(iz * tz - 1, 0), iy, 0)
+    zdn_map = lambda iz, iy: (0, jnp.minimum((iz + 1) * tz, nz - 1), iy, 0)
     in_specs = [
         pl.BlockSpec((1, 2), lambda iz, iy: (0, 0),
                      memory_space=pltpu.SMEM),
         blkspec,
         pl.BlockSpec((P, tz, 1, 2, nx), lambda iz, iy: (0, iz, iy, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((P, 1, 2, ty, nx), lambda iz, iy: (0, iz, 0, iy, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zup_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zdn_map, memory_space=pltpu.VMEM),
     ]
     if mode == "aniso3d":
         wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
@@ -334,8 +318,7 @@ def _pass1zy_call(j, P, nz, ny, nx, tz, ty, scale, sign, variant,
                          lambda iz, iy: (0, iz, iy, 0, 0),
                          memory_space=pltpu.VMEM),
             wspec,                                     # wz
-            pl.BlockSpec((1, 1, 1, ty, nx),            # wz halo planes
-                         lambda iz, iy: (0, iz, 0, iy, 0),
+            pl.BlockSpec((1, 1, ty, nx), zup_map,      # wz at plane -1
                          memory_space=pltpu.VMEM),
         ]
     in_specs += [blkspec for _ in range(j)]
@@ -523,19 +506,17 @@ def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
                                   variant, interpret, mode)(*args)
         else:
             # 256^3-class late iterations: full-z slabs no longer fit —
-            # brick geometry with gathered z-halo planes
+            # brick geometry; z-halo planes stream straight from W_j via
+            # clamped index maps (no jnp-side gather, r5)
             nop_brick = 0 if mode == "iso3d" else 5
             tz, tyb = pick_brick3d(nz, ny, nx, j, P, nop_brick)
-            halos = gather_y_halos(as4(W[j]), tyb, halo_variant)
-            zh = gather_z_halos(as4(W[j]), tz)
-            args = [scal, as4(W[j]), halos, zh]
+            w4 = as4(W[j])
+            halos = gather_y_halos(w4, tyb, halo_variant)
+            args = [scal, w4, halos, w4, w4]
             if mode == "aniso3d":
                 if tyb not in wyh_cache:
                     wyh_cache[tyb] = _gather_wy_halos(wy4, tyb)
-                if ("wz", tz) not in wyh_cache:
-                    wyh_cache[("wz", tz)] = gather_wz_halos(wz4, tz)
-                args += [wx4, wy4, wyh_cache[tyb], wz4,
-                         wyh_cache[("wz", tz)]]
+                args += [wx4, wy4, wyh_cache[tyb], wz4, wz4]
             args.extend(as4(a) for a in W[:j])
             w, raw = _pass1zy_call(j, P, nz, ny, nx, tz, tyb, scale, sign,
                                    variant, interpret, mode)(*args)
@@ -746,6 +727,225 @@ def _pass1y_shard_aniso_call(j, P, lnz, lny, nx, ty, scale, sign,
     )
 
 
+def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
+                        interpret):
+    """Sharded BRICK pass1 (7-point iso Laplacian): the 256^3-local-shard
+    geometry inside shard_map (round 5, VERDICT r4 next #2 — without it,
+    512^3 on a 2x2x2 mesh collapsed to the row-tiled kernels).
+
+    Mask-free like `_pass1y_shard_call`: `diag` is the per-cell variant
+    diagonal from GLOBAL coordinates streamed per brick, the y-halo slabs
+    arrive gathered with the cross-shard ppermute edges spliced in by the
+    caller (zeros at true domain ends), `hc` carries the ppermute'd x
+    columns. The z-neighbor planes stream DIRECTLY from the local W_j
+    array via clamped index maps; only the two boundary bricks select the
+    ppermute'd az slabs `zht`/`zhb` instead (scalar per-program select —
+    no jnp-side z gather, same r5 optimization as `_pass1zy_call`).
+    2D (nzb, nyb) program grid.
+
+    Inputs: scal (1,2) SMEM [1/chat, 0], W_j brick (P, tz, ty, nx), y-halo
+    slabs (P, lnz, nyb, 2, nx), zup/zdn clamped plane streams of W_j,
+    zht/zhb az-halo slabs (P, 1, lny, nx), hc (P, lnz, lny, 2), diag
+    (1, lnz, lny, nx), W_0..W_{j-1} bricks. Outputs: w, raw (j+1, 2) SMEM.
+    Parity: laplacians.hpp:105-156 via
+    parallel/spatial.sharded_laplacian_3d.
+    """
+    nzb, nyb = lnz // tz, lny // ty
+    grid = (nzb, nyb)
+    blk = (P, tz, ty, nx)
+
+    def kernel(scal, u_ref, h_ref, zup_ref, zdn_ref, zht_ref, zhb_ref,
+               hc_ref, diag_ref, *rest):
+        wrefs = rest[:j]
+        w_out, raw_out = rest[j], rest[j + 1]
+        iz, iy = pl.program_id(0), pl.program_id(1)
+        u = u_ref[...]
+        h = h_ref[...]                        # (P, tz, 1, 2, nx)
+        up = h[:, :, 0, 0, :][:, :, None, :]
+        dn = h[:, :, 0, 1, :][:, :, None, :]
+        zup = jnp.where(iz == 0, zht_ref[...], zup_ref[...])
+        zdn = jnp.where(iz == nzb - 1, zhb_ref[...], zdn_ref[...])
+        hc = hc_ref[...]                      # (P, tz, ty, 2)
+        left = jnp.concatenate([hc[..., 0:1], u[..., :-1]], axis=3)
+        right = jnp.concatenate([u[..., 1:], hc[..., 1:2]], axis=3)
+        above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+        below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+        z_above = jnp.concatenate([zup, u[:, :-1]], axis=1)
+        z_below = jnp.concatenate([u[:, 1:], zdn], axis=1)
+        nb = above + below + z_above + z_below + left + right
+        av = (nb + diag_ref[...] * u) * (scale * sign)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when((iz == 0) & (iy == 0))
+        def _():
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = u if idx == j else wrefs[idx][...]
+            re, im = _dots4(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    center = lambda iz, iy: (0, iz, iy, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    zplane = (P, 1, ty, nx)
+    zup_map = lambda iz, iy: (0, jnp.maximum(iz * tz - 1, 0), iy, 0)
+    zdn_map = lambda iz, iy: (0, jnp.minimum((iz + 1) * tz, lnz - 1), iy, 0)
+    zh_map = lambda iz, iy: (0, 0, iy, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
+        blkspec,
+        pl.BlockSpec((P, tz, 1, 2, nx), lambda iz, iy: (0, iz, iy, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zup_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zdn_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zh_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zh_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, tz, ty, 2), center, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tz, ty, nx), center, memory_space=pltpu.VMEM),
+    ] + [blkspec for _ in range(j)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((j + 1, 2), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, lnz, lny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 5, tz * ty, nx, P),
+        interpret=interpret,
+    )
+
+
+def _pass1zy_shard_aniso_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
+                              interpret):
+    """Sharded BRICK ANISO pass1: finite-volume div(c grad u) on
+    256^3-class local shards. Face weights arrive padded (cross-shard
+    faces ppermute-averaged, zeros at true no-flux faces) and streamed per
+    brick; `wyh` is the gathered -y face-weight halo slabs with the
+    cross-shard splices, `wxl` the -x face-weight columns. The u
+    z-neighbors and the -z face weight stream DIRECTLY via clamped plane
+    maps, with the ppermute'd az slabs (`zht`/`zhb`/`wzh`) selected at the
+    boundary bricks (r5 — no jnp-side z gathers).
+
+    Inputs: scal, W_j brick, y-halo slabs, zup/zdn clamped plane streams,
+    zht/zhb az-halo slabs, hc, wx, wy, wz (1, tz, ty, nx) face-weight
+    bricks, wyh (1, tz, nyb, 1, nx) slabs, wz_up clamped -z face-weight
+    plane stream, wzh (1, 1, lny, nx) az face-weight slab, wxl
+    (1, tz, ty, 1) columns, W_0..W_{j-1}. Outputs: w, raw. Parity:
+    laplacians.hpp:158-218 via
+    parallel/spatial.sharded_anisotropic_laplacian_3d.
+    """
+    nzb, nyb = lnz // tz, lny // ty
+    grid = (nzb, nyb)
+    blk = (P, tz, ty, nx)
+    wblk = (1, tz, ty, nx)
+
+    def kernel(scal, u_ref, h_ref, zup_ref, zdn_ref, zht_ref, zhb_ref,
+               hc_ref, wx_ref, wy_ref, wyh_ref, wz_ref, wzu_ref, wzh_ref,
+               wxl_ref, *rest):
+        wrefs = rest[:j]
+        w_out, raw_out = rest[j], rest[j + 1]
+        iz, iy = pl.program_id(0), pl.program_id(1)
+        u = u_ref[...]
+        h = h_ref[...]
+        up = h[:, :, 0, 0, :][:, :, None, :]
+        dn = h[:, :, 0, 1, :][:, :, None, :]
+        zup = jnp.where(iz == 0, zht_ref[...], zup_ref[...])
+        zdn = jnp.where(iz == nzb - 1, zhb_ref[...], zdn_ref[...])
+        hc = hc_ref[...]
+        wx, wy, wz = wx_ref[...], wy_ref[...], wz_ref[...]
+        u_r = jnp.concatenate([u[..., 1:], hc[..., 1:2]], axis=3)
+        fx = wx * (u_r - u)                   # zero at true +x edge
+        fx_l = jnp.concatenate(
+            [wxl_ref[...] * (u[..., 0:1] - hc[..., 0:1]), fx[..., :-1]],
+            axis=3)
+        below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
+        fy = wy * (below - u)
+        above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
+        wy_up = jnp.concatenate([wyh_ref[...][:, :, 0, :, :],
+                                 wy[:, :, :-1, :]], axis=2)
+        fy_m1 = wy_up * (u - above)
+        z_below = jnp.concatenate([u[:, 1:], zdn], axis=1)
+        fz = wz * (z_below - u)
+        z_above = jnp.concatenate([zup, u[:, :-1]], axis=1)
+        wzu = jnp.where(iz == 0, wzh_ref[...], wzu_ref[...])
+        wz_up = jnp.concatenate([wzu, wz[:, :-1]], axis=1)
+        fz_m = wz_up * (u - z_above)
+        av = (fx - fx_l + fy - fy_m1 + fz - fz_m) * (scale * sign)
+        w = scal[0, 0] * av
+        if j > 0:
+            w = w - scal[0, 1] * wrefs[j - 1][...]
+        w_out[...] = w
+
+        @pl.when((iz == 0) & (iy == 0))
+        def _():
+            for idx in range(j + 1):
+                raw_out[idx, 0] = 0.0
+                raw_out[idx, 1] = 0.0
+
+        for idx in range(j + 1):
+            Wi = u if idx == j else wrefs[idx][...]
+            re, im = _dots4(P, Wi, w)
+            raw_out[idx, 0] += re
+            raw_out[idx, 1] += im
+
+    center = lambda iz, iy: (0, iz, iy, 0)
+    blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(wblk, center, memory_space=pltpu.VMEM)
+    zplane = (P, 1, ty, nx)
+    zup_map = lambda iz, iy: (0, jnp.maximum(iz * tz - 1, 0), iy, 0)
+    zdn_map = lambda iz, iy: (0, jnp.minimum((iz + 1) * tz, lnz - 1), iy, 0)
+    zh_map = lambda iz, iy: (0, 0, iy, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
+        blkspec,
+        pl.BlockSpec((P, tz, 1, 2, nx), lambda iz, iy: (0, iz, iy, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zup_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zdn_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zh_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zplane, zh_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((P, tz, ty, 2), center, memory_space=pltpu.VMEM),
+        wspec, wspec,                                  # wx, wy
+        pl.BlockSpec((1, tz, 1, 1, nx), lambda iz, iy: (0, iz, iy, 0, 0),
+                     memory_space=pltpu.VMEM),         # wyh slabs
+        wspec,                                         # wz
+        pl.BlockSpec((1, 1, ty, nx), zup_map,
+                     memory_space=pltpu.VMEM),         # wz_up plane stream
+        pl.BlockSpec((1, 1, ty, nx), zh_map,
+                     memory_space=pltpu.VMEM),         # wzh az slab
+        pl.BlockSpec((1, tz, ty, 1), center,
+                     memory_space=pltpu.VMEM),         # wxl columns
+    ] + [blkspec for _ in range(j)]
+    out_specs = [
+        blkspec,
+        pl.BlockSpec((j + 1, 2), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, lnz, lny, nx), jnp.float32),
+                   jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
+        compiler_params=_compiler_params(j + 8, tz * ty, nx, P),
+        interpret=interpret,
+    )
+
+
 def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
                                 desc, safe_inv, interpret, axis_names,
                                 aniso=None):
@@ -833,6 +1033,7 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
         zhb = _recv_from_next(w4[:, 0, :, :], az)[:, None]
         return h, hc, zht, zhb
 
+
     # Deferred-norm CGS: ONE psum per iteration + one final — see the twin
     # branch in lanczos2d.lanczos_planar for the full derivation. pass1
     # applies (A/chat) W_j with chat a Gershgorin bound (12*scale iso;
@@ -847,9 +1048,34 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
                                + jnp.max(wz4)), axis_names)
         chat = (ghat * abs(scale)).astype(jnp.float32)
     nop = 3 if aniso is None else 6      # hc/z-slabs + diag | + wx/wy/wz
+    nop_brick = 1 if aniso is None else 6
 
     def p1(j, scal, W):
         ty = pick_ty3d(lnz, lny, nx, j, P, nop)
+        if ty < 8:
+            # 256^3-class local shards: full-z y-slabs exceed VMEM — brick
+            # pass1 (round 5; previously this collapsed to the row-tiled
+            # kernels, VERDICT r4 next #2). z-neighbors stream directly
+            # from the local array via clamped maps; boundary bricks
+            # select the az ppermute slabs in-kernel.
+            tz, tyb = pick_brick3d(lnz, lny, nx, j, P, nop_brick)
+            h, hc4, zht, zhb = shard_halos(W[j], tyb)
+            hc4 = hc4.reshape(P, lnz, lny, 2)
+            w4 = as4(W[j])
+            if aniso is None:
+                w, raw = _pass1zy_shard_call(j, P, lnz, lny, nx, tz, tyb,
+                                             scale, sign, interpret)(
+                    scal, w4, h, w4, w4, zht, zhb, hc4, diag,
+                    *(as4(a) for a in W[:j]))
+            else:
+                if ("y", tyb) not in wyh_cache:
+                    wyh_cache[("y", tyb)] = wyh_slabs(tyb)
+                w, raw = _pass1zy_shard_aniso_call(
+                    j, P, lnz, lny, nx, tz, tyb, scale, sign, interpret)(
+                    scal, w4, h, w4, w4, zht, zhb, hc4, wx4, wy4,
+                    wyh_cache[("y", tyb)], wz4, wz4, wzh4, wxl4,
+                    *(as4(a) for a in W[:j]))
+            return w.reshape(P, R, nx), raw
         h, hc, zht, zhb = shard_halos(W[j], ty)
         if aniso is None:
             w, raw = _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale,

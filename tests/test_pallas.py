@@ -544,6 +544,78 @@ def test_sharded_3d_aniso_fused_matches_xla(interp_mode, shard_ytile_mode):
     np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
 
 
+@pytest.mark.parametrize("use_c", [False, True], ids=["iso", "aniso"])
+def test_sharded_3d_brick_matches_xla(interp_mode, use_c, monkeypatch):
+    """Round 5 (VERDICT r4 next #2): 256^3-class LOCAL shards route
+    through the sharded BRICK pass1 instead of collapsing to the
+    row-tiled kernels. Forced here at small shapes by shrinking the 3D
+    VMEM budget below the y-slab requirement, on a 2x2x2 mesh; the
+    1x1x8 mesh + reference variant is covered by
+    test_sharded_3d_brick_reference_x_only."""
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.ops.pallas import lanczos3d_pipe as l3
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(l3, "_VMEM_BUDGET", 3 * 2**20)
+    m_kry = 6
+    assert l3.pick_ty3d(16, 16, 128, m_kry - 2, 2, 6 if use_c else 3) < 8
+    assert l3.pick_brick3d(16, 16, 128, m_kry - 2, 2, 6 if use_c else 1)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    shape = (32, 32, 256)
+    axes = ("gz", "gy", "gx")
+    rng = np.random.default_rng(57)
+    u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
+    mf = np.ones(shape, np.float32)
+    c = (1.0 + 0.4 * rng.random(shape)).astype(np.float32)
+    kw = dict(axis_names=axes, krylov_m=m_kry, dtype=jnp.complex64,
+              variant="clean", use_c=use_c)
+    args = ((jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)) if use_c
+            else (jnp.asarray(u0), jnp.asarray(mf)))
+    step = spatial.make_sharded_nlse_step("cubic", shape, 5.0, 1e-3, mesh,
+                                          **kw)
+    got = np.asarray(step(*args))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step("cubic", shape, 5.0, 1e-3,
+                                              mesh, **kw)
+    ref = np.asarray(step_ref(*args))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
+def test_sharded_3d_brick_reference_x_only(interp_mode, monkeypatch):
+    """Sharded brick pass1 under variant='reference' (merged y-seam kept
+    in the gathered slabs), x-only sharding on a 1x1x8 mesh."""
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.ops.pallas import lanczos3d_pipe as l3
+    from nlsolvers_tpu.parallel import spatial
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(l3, "_VMEM_BUDGET", 3 * 2**20)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 1, 8),
+                ("gz", "gy", "gx"))
+    shape, m_kry = (16, 16, 8 * 128), 6
+    assert l3.pick_ty3d(16, 16, 128, m_kry - 2, 2, 3) < 8
+    axes = ("gz", "gy", "gx")
+    rng = np.random.default_rng(58)
+    u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
+    mf = np.ones(shape, np.float32)
+    kw = dict(axis_names=axes, krylov_m=m_kry, dtype=jnp.complex64,
+              variant="reference")
+    step = spatial.make_sharded_nlse_step("cubic", shape, 5.0, 1e-3, mesh,
+                                          **kw)
+    got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf)))
+
+    config.pallas_mode = "off"
+    step_ref = spatial.make_sharded_nlse_step("cubic", shape, 5.0, 1e-3,
+                                              mesh, **kw)
+    ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf)))
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5)
+
+
 def test_sharded_3d_reference_variant_x_only(interp_mode, shard_ytile_mode):
     # variant="reference" keeps the merged y-seam coupling
     # (laplacians.hpp:140), legal only with unsplit z/y — shard x over all
