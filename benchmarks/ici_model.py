@@ -22,15 +22,17 @@ ICI parameters (public: v5e has 4 ICI ports/chip, 2D torus; per-link
 conservative single-link case; per-collective launch+hop latency ~2 us —
 jax-ml.github.io/scaling-book numbers rounded pessimistically).
 
-Per-shard compute baselines are MEASURED single-chip rows
-(benchmarks/results/perf_table_r03b_3d.jsonl and bench.py):
-  2D 1024^2 m=10 SS2: ~900 steps/s => ~105 us/iteration-pair full chip
-  3D 128^3 per-shard (the 256^3/2x2x2 operating point): 126 steps/s
-  => step 7.9 ms, ~0.72 matfunc fraction => ~630 us/iteration-pair.
+Per-shard compute baselines are MEASURED 1-shard rows of the SHARDED step
+itself (perf_table.py shard rows, read from benchmarks/results/ — newest
+round wins), not back-derived from unsharded rows: the r4 data showed the
+sharded path runs ~17% slower per shard than the unsharded kernels, so an
+unsharded anchor overstates the base the efficiency multiplies against
+(VERDICT r4 weak #6).
 """
 
 import argparse
 import json
+import os
 
 US = 1e-6
 
@@ -95,6 +97,39 @@ def model(name, dim, local_shape, P, m, iter_us, bw_gbs, lat_us):
     return row
 
 
+def measured_anchor(name, results_glob="perf_table_r0*_*.jsonl"):
+    """steps/s of a measured 1-shard sharded row from the committed
+    result files (newest round wins). Returns None if never measured —
+    the caller must then say so rather than back-derive (VERDICT r4
+    weak #6: the 2D model's 37.5 us input was back-derived from the
+    unsharded row, which the 3D data showed overstates sharded per-shard
+    speed by ~17%)."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in sorted(glob.glob(os.path.join(here, "results",
+                                              results_glob))):
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if row.get("metric") == name:
+                    best = row["steps_per_sec"]
+    return best
+
+
+def iter_us_from_sps(sps, m=10, matfunc_frac=None):
+    """Per-Lanczos-iteration compute time from a measured SS2 steps/s.
+    One SS2 step = one m-column Lanczos matfunc (m-1 iteration pairs) +
+    planar phase kicks; the matfunc fraction is the measured step
+    decomposition (benchmarks/exp3d_step_r04.py: ~0.92 for the planar
+    path — kicks are one cheap VPU pass each)."""
+    frac = matfunc_frac if matfunc_frac is not None else 0.92
+    return (1e6 / sps) * frac / (m - 1)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bw", type=float, default=45.0,
@@ -103,23 +138,45 @@ def main():
                     help="per-collective latency, us")
     args = ap.parse_args()
 
-    # 2D 1024^2 on a 2x2 mesh: local 512^2. Full-chip iteration-pair time
-    # ~105 us at 1024^2; a 512^2 shard's kernels run ~4x less data but
-    # program-grain costs do not shrink 4x — use 2.8x (measured tile-count
-    # scaling of the pipelined kernels).
-    model("shard2d_1024_on_2x2", 2, (512, 512), 2, 10,
-          iter_us=105 / 2.8, bw_gbs=args.bw, lat_us=args.lat)
-    # 2D 4096^2 on a 2x2 mesh: local 2048^2, iteration ~16x the 1024^2
-    # shard's data.
-    model("shard2d_4096_on_2x2", 2, (2048, 2048), 2, 10,
-          iter_us=105 * 16 / 4, bw_gbs=args.bw, lat_us=args.lat)
-    # 3D 256^3 on a 2x2x2 mesh: local 128^3 — the measured 1-shard row
-    # (126 steps/s SS2) gives ~630 us per iteration-pair.
-    model("shard3d_256_on_2x2x2", 3, (128, 128, 128), 2, 10,
-          iter_us=630, bw_gbs=args.bw, lat_us=args.lat)
-    # 3D 512^3 on a 4x4x4 mesh (64 chips): same local 128^3 blocks.
-    model("shard3d_512_on_4x4x4", 3, (128, 128, 128), 2, 10,
-          iter_us=630, bw_gbs=args.bw, lat_us=args.lat)
+    # Compute anchors are MEASURED 1-shard sharded rows (perf_table.py
+    # shard2d_2048/shard3d/shard3d_256 rows) — the sharded step's own
+    # per-shard speed, not the unsharded path's (VERDICT r4 weak #6).
+    a2d = measured_anchor("nlse2d_2048_ss2_sharded_1shard")
+    a3d = measured_anchor("nlse3d_128_ss2_sharded_1shard")
+    a3d256 = measured_anchor("nlse3d_256_ss2_sharded_1shard")
+
+    # 2D 4096^2 on a 2x2 mesh: local 2048^2 — the anchored operating
+    # point ("pays off from ~2048^2 local").
+    if a2d:
+        model("shard2d_4096_on_2x2", 2, (2048, 2048), 2, 10,
+              iter_us=iter_us_from_sps(a2d), bw_gbs=args.bw,
+              lat_us=args.lat)
+        # 1024^2 locals (2048^2 global on 2x2): kernels at 1/4 the data
+        # but program-grain costs do not shrink 4x — measured tile-count
+        # scaling of the pipelined kernels is ~2.8x.
+        model("shard2d_2048_on_2x2", 2, (1024, 1024), 2, 10,
+              iter_us=iter_us_from_sps(a2d) / 2.8, bw_gbs=args.bw,
+              lat_us=args.lat)
+    # 3D 256^3 on a 2x2x2 mesh: local 128^3.
+    if a3d:
+        model("shard3d_256_on_2x2x2", 3, (128, 128, 128), 2, 10,
+              iter_us=iter_us_from_sps(a3d), bw_gbs=args.bw,
+              lat_us=args.lat)
+        # 3D 512^3 on a 4x4x4 mesh (64 chips): same local 128^3 blocks.
+        model("shard3d_512_on_4x4x4", 3, (128, 128, 128), 2, 10,
+              iter_us=iter_us_from_sps(a3d), bw_gbs=args.bw,
+              lat_us=args.lat)
+    # 3D 512^3 on a 2x2x2 mesh: local 256^3 — the brick-pass1-in-shard_map
+    # operating point (VERDICT r4 next #2), previously slow AND unmodeled.
+    if a3d256:
+        model("shard3d_512_on_2x2x2", 3, (256, 256, 256), 2, 10,
+              iter_us=iter_us_from_sps(a3d256), bw_gbs=args.bw,
+              lat_us=args.lat)
+    for name, val in (("2D 2048^2-local", a2d), ("3D 128^3-local", a3d),
+                      ("3D 256^3-local", a3d256)):
+        if not val:
+            print(json.dumps({"metric": "ici_model_missing_anchor",
+                              "anchor": name}), flush=True)
 
 
 if __name__ == "__main__":

@@ -93,6 +93,19 @@ def ss2_bytes(shape, m, mode):
     return lanczos_bytes(shape, m, 2, mode) + 2 * (2 * sc + wc)
 
 
+def sewi_bytes(shape, m, mode, fused=False):
+    """Planar sEWI step (models/nlse.sewi_step_planar): B(u) pointwise
+    (read up + m field, write Bp), then 3 Lanczos matfuncs — sinc(B),
+    exp(psi), exp(2tau, u_prev) — or 2 with the fused exp*sinc variant,
+    then the final combine e2 - 2 dt i e1 (read 2, write 1)."""
+    sc = col_bytes(shape, 2)
+    wc = col_bytes(shape, 1)
+    n_mf = 2 if fused else 3
+    return (n_mf * lanczos_bytes(shape, m, 2, mode)
+            + (2 * sc + wc)                           # B(u) pointwise
+            + 3 * sc)                                 # final combine
+
+
 def gautschi_bytes(shape, m, mode):
     sc = col_bytes(shape, 1)
     wc = col_bytes(shape, 1)
@@ -149,7 +162,7 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def nlse_row(name, shape, mode, c=None, chunk=None):
+    def nlse_row(name, shape, mode, c=None, chunk=None, integrator="ss2"):
         Lx = 10.0
         x = [np.linspace(-Lx, Lx, n, dtype=np.float32) for n in shape]
         mesh = np.meshgrid(*x, indexing="ij")
@@ -160,7 +173,9 @@ def main():
         mf = np.ones(shape, np.float32)
         prob = problems.nlse_problem("cubic", shape, Lx, 1e-4, m_field=mf,
                                      c_field=c, krylov_m=m_kry,
+                                     integrator=integrator,
                                      dtype=jnp.complex64)
+        two_step = integrator in ("sewi", "sewi_fused", "gautschi")
 
         def step(s, i):
             return prob.step(s, i)
@@ -170,16 +185,21 @@ def main():
         # tunnel costs seconds at 256^3 (134 MB) and once made this row
         # look 3x slower than the step actually runs (tunnel rule:
         # benchmarks/README.md)
+        first = (lambda s: s[0]) if two_step else (lambda s: s)
         if prob.meta.get("planar_state", False):
             state = prob.init(u0)                 # planar (2, R, nx) f32
-            mat = lambda s: np.asarray(s[:, :1, :8])
-        else:
-            state = unpack_complex(jnp.asarray(u0))
-            mat = lambda s: np.asarray(pack_complex(s)[..., :1, :8])
+            mat = lambda s: np.asarray(first(s)[:, :1, :8])
+        else:                                     # complex path (XLA column)
+            state = prob.init(u0[0] + 1j * u0[1])
+            mat = lambda s: np.asarray(pack_complex(first(s))[..., :1, :8])
         chunk = chunk or (2000 if len(shape) == 2 else 300)
         rates, _ = time_chunk(step, state, chunk, args.repeats, mat)
         med = float(np.median(rates))
-        bs = ss2_bytes(shape, m_kry, mode)
+        if integrator == "ss2":
+            bs = ss2_bytes(shape, m_kry, mode)
+        else:
+            bs = sewi_bytes(shape, m_kry, mode,
+                            fused=integrator == "sewi_fused")
         emit(name, shape, med, rates, bs)
 
     def sg_row(name, shape, mode, chunk=2000):
@@ -209,19 +229,23 @@ def main():
             "fraction_of_triad": round(eff / triad, 3),
         }), flush=True)
 
-    def shard3d_row(name, shape):
-        """Grid-sharded 3D engine on a (1,1,1) mesh: the per-shard kernel
-        speedup of the new shard3d fused path (multi-chip meshes are not
+    def shard_row(name, shape, chunk=100):
+        """Grid-sharded engine on a 1-device mesh: the per-shard kernel
+        speed of the sharded fused path (multi-chip meshes are not
         available in this image; cross-shard ppermutes are no-ops here, so
-        this isolates kernel time, not ICI)."""
+        this isolates kernel time, not ICI). The measured rate anchors the
+        iter_compute_us inputs of benchmarks/ici_model.py (VERDICT r4
+        next #8: the 2D model previously rested on a back-derived number
+        that the 3D data showed overstates sharded per-shard speed)."""
         from jax.sharding import Mesh
         from nlsolvers_tpu.parallel import spatial
-        mesh = Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1),
-                    ("gz", "gy", "gx"))
+        dim = len(shape)
+        names = ("gz", "gy", "gx")[-dim:]
+        mesh = Mesh(np.array(jax.devices()[:1]).reshape((1,) * dim), names)
         Lx = 10.0
         step1 = spatial.make_sharded_nlse_step(
             "cubic", shape, Lx, 1e-4, mesh,
-            axis_names=("gz", "gy", "gx"), krylov_m=m_kry,
+            axis_names=names, krylov_m=m_kry,
             dtype=jnp.complex64, variant="clean")
         rng_l = np.random.default_rng(3)
         u0 = 0.1 * rng_l.standard_normal((2,) + shape).astype(np.float32)
@@ -231,10 +255,11 @@ def main():
             del i
             return step1(s, jnp.asarray(mf))
 
-        rates, _ = time_chunk(step, jnp.asarray(u0), 100, args.repeats,
+        rates, _ = time_chunk(step, jnp.asarray(u0), chunk, args.repeats,
                               lambda s: np.asarray(s[:, :1, :8]))
         med = float(np.median(rates))
-        emit(name, shape, med, rates, ss2_bytes(shape, m_kry, "iso3d"))
+        mode = "iso2d" if dim == 2 else "iso3d"
+        emit(name, shape, med, rates, ss2_bytes(shape, m_kry, mode))
 
     rows = set(args.rows.split(","))
     if "iso2d" in rows:
@@ -250,9 +275,32 @@ def main():
         c3 = (1.0 + 0.4 * rng.random((128, 128, 128))).astype(np.float32)
         nlse_row("nlse3d_128_ss2_aniso", (128, 128, 128), "aniso3d", c=c3)
     if "shard3d" in rows:
-        shard3d_row("nlse3d_128_ss2_sharded_1shard", (128, 128, 128))
+        shard_row("nlse3d_128_ss2_sharded_1shard", (128, 128, 128))
+    if "shard2d_2048" in rows:
+        # the local-shard shape the "pays off from ~2048^2" claim rests on
+        # (VERDICT r4 next #8): measured anchor for ici_model's 2D rows
+        shard_row("nlse2d_2048_ss2_sharded_1shard", (2048, 2048), chunk=200)
+    if "shard3d_256" in rows:
+        # 256^3-local shards (512^3 on 2x2x2): the brick-pass1-in-shard_map
+        # operating point (VERDICT r4 next #2); anchors ici_model's
+        # 512^3-on-2x2x2 row
+        shard_row("nlse3d_256_ss2_sharded_1shard", (256, 256, 256),
+                  chunk=30)
+    if "sewi2d" in rows:
+        nlse_row("nlse2d_1024_sewi", (1024, 1024), "iso2d",
+                 integrator="sewi")
+    if "sewi3d" in rows:
+        nlse_row("nlse3d_128_sewi", (128, 128, 128), "iso3d",
+                 integrator="sewi", chunk=150)
+    if "sewi3d_fused" in rows:
+        nlse_row("nlse3d_128_sewi_fused", (128, 128, 128), "iso3d",
+                 integrator="sewi_fused", chunk=150)
     if "sg3d" in rows:
         sg_row("sg3d_128_gautschi", (128, 128, 128), "iso3d", chunk=200)
+    if "sg3d_256" in rows:
+        # real-wave at the 2TB-production scale (VERDICT r4 next #9): P=1
+        # f32 fields keep even 256^3 on the y-slab kernels for m=10
+        sg_row("sg3d_256_gautschi", (256, 256, 256), "iso3d", chunk=30)
     if "iso3d_256" in rows:
         # production-aspiration scale ("collect 2TB for 3d cases",
         # final_todo.txt:36): 256^3 complex64 state = 134 MB, m=10 Krylov

@@ -280,15 +280,27 @@ def shard_parity(results):
     mf = np.ones(shape, np.float32)
     c = (1.0 + 0.4 * rng.random(shape)).astype(np.float32)
     u0 = 0.1 * rng.standard_normal((2,) + shape).astype(np.float32)
-    for name, use_c in (("shard3d_iso", False), ("shard3d_aniso", True)):
+    from nlsolvers_tpu.ops.pallas import lanczos3d_pipe as l3
+
+    def one(name, use_c, budget=None):
         kw = dict(axis_names=("gz", "gy", "gx"), krylov_m=6,
                   dtype=jnp.complex64, variant="clean", use_c=use_c)
-        config.pallas_mode = "on"
-        step = spatial.make_sharded_nlse_step("cubic", shape, 5.0, 1e-4,
-                                              mesh, **kw)
         a = ((jnp.asarray(u0), jnp.asarray(mf), jnp.asarray(c)) if use_c
              else (jnp.asarray(u0), jnp.asarray(mf)))
-        got = np.asarray(step(*a))
+        old = l3._VMEM_BUDGET
+        config.pallas_mode = "on"
+        try:
+            # a shrunken budget forces pick_ty3d < 8 at this shape, so the
+            # sharded dispatch routes through the BRICK pass1 kernels
+            # (the 256^3-local geometry, VERDICT r4 next #2) — Mosaic
+            # compilation validated on the real chip at harness scale
+            if budget is not None:
+                l3._VMEM_BUDGET = budget
+            step = spatial.make_sharded_nlse_step("cubic", shape, 5.0,
+                                                  1e-4, mesh, **kw)
+            got = np.asarray(step(*a))
+        finally:
+            l3._VMEM_BUDGET = old
         config.pallas_mode = "off"
         step_ref = spatial.make_sharded_nlse_step("cubic", shape, 5.0,
                                                   1e-4, mesh, **kw)
@@ -299,6 +311,11 @@ def shard_parity(results):
                    ok=bool(bad == 0 and np.isfinite(got).all()))
         results.append(rec)
         print(json.dumps(rec), flush=True)
+
+    one("shard3d_iso", False)
+    one("shard3d_aniso", True)
+    one("shard3d_iso_brick", False, budget=4 * 2**20)
+    one("shard3d_aniso_brick", True, budget=4 * 2**20)
 
 
 if __name__ == "__main__":

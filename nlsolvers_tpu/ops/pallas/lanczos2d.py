@@ -991,6 +991,59 @@ def _pass2_call(j, P, ny, nx, tile, interpret):
     )
 
 
+def _combine_call(m, k, P, ny, nx, tile, interpret):
+    """pallas_call for the final combine y_spec = sum_i q[spec, i] W_i
+    (complex coefficients on planar columns, q[spec, i] already folded
+    with s_i).
+
+    Replaces the XLA-fused MAC chain for the 3D paths: at 256^3 m=10 the
+    10-input fused chain measured ~4.0 ms against a ~1.9 ms byte-ideal
+    (benchmarks/exp256b_r05.py — XLA splits the wide fusion and
+    re-streams intermediates); this kernel streams each W_i exactly once
+    for ALL specs, like `_pass2_call` without the norm. Inputs: q SMEM
+    (k, m, 2), W_0..W_{m-1} blocks. Outputs: k blocks.
+    """
+    grid = (ny // tile,)
+    blk = (P, tile, nx)
+
+    def kernel(q, *rest):
+        wrefs = rest[:m]
+        outs = rest[m:]
+        Ws = [wrefs[i][...] for i in range(m)]
+        for spec in range(k):
+            if P == 1:
+                acc = q[spec, 0, 0] * Ws[0][0]
+                for i in range(1, m):
+                    acc = acc + q[spec, i, 0] * Ws[i][0]
+                outs[spec][...] = acc[None]
+            else:
+                a, b = q[spec, 0, 0], q[spec, 0, 1]
+                y0 = a * Ws[0][0] - b * Ws[0][1]
+                y1 = a * Ws[0][1] + b * Ws[0][0]
+                for i in range(1, m):
+                    a, b = q[spec, i, 0], q[spec, i, 1]
+                    y0 = y0 + a * Ws[i][0] - b * Ws[i][1]
+                    y1 = y1 + a * Ws[i][1] + b * Ws[i][0]
+                outs[spec][...] = jnp.stack([y0, y1])
+
+    blkspec = pl.BlockSpec(blk, lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((k, m, 2), lambda i: (0, 0, 0),
+                     memory_space=pltpu.SMEM),
+    ] + [blkspec for _ in range(m)]
+    out_specs = [blkspec for _ in range(k)]
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((P, ny, nx), jnp.float32)
+                   for _ in range(k)],
+        compiler_params=_compiler_params(m + k + 1, tile, nx, P),
+        interpret=interpret,
+    )
+
+
 def _lanczos_pipe(u, m, P, ny, nx, scale, sign, variant, mode, op_args,
                   extra_ops, safe_inv, n_op, interpret):
     """Pipelined single-pass Lanczos driver (kernels: _pipe_call).
@@ -1510,6 +1563,29 @@ def matfunc_apply_planar_multi(u, desc, specs, m, interpret=False,
     beta = jnp.stack(betas) if betas else jnp.zeros((0,), jnp.float32)
     lam, Q = tridiag_eigh(alpha, beta)
     svec = [jnp.asarray(si, jnp.float32) for si in s]
+
+    if desc.get("kind") in ("laplacian_3d", "aniso_laplacian_3d",
+                            "shard3d", "shard3d_aniso") and m >= 2:
+        # fused combine kernel for the 3D paths (see _combine_call): the
+        # XLA MAC chain over m wide columns re-streams intermediates at
+        # 256^3-class sizes. Same accumulation order as the chain below.
+        sv = jnp.stack(svec)                          # (m,)
+        qrows = []
+        for t, func in specs:
+            f = MATFUNCS[func] if isinstance(func, str) else func
+            fvals = f(np.asarray(t), lam)
+            coef = beta0 * jnp.matmul(Q, fvals * Q[0, :],
+                                      precision=jax.lax.Precision.HIGHEST)
+            qrows.append(jnp.stack(
+                [jnp.real(coef).astype(jnp.float32) * sv,
+                 jnp.imag(coef).astype(jnp.float32) * sv], axis=-1))
+        q = jnp.stack(qrows)                          # (k, m, 2)
+        ny, nx = u.shape[1], u.shape[2]
+        tile = _pick_tile(ny, nx, m + len(specs) + 1, nplanes=P)
+        if tile >= 8:
+            return tuple(_combine_call(m, len(specs), P, ny, nx, tile,
+                                       interpret)(q, *W))
+
     outs = []
     for t, func in specs:
         f = MATFUNCS[func] if isinstance(func, str) else func

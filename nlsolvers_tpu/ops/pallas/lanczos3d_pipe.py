@@ -118,8 +118,12 @@ def _stencil_3d_y(u, up, dn, y0, ty, nz, ny, nx, scale, sign, variant):
     zc = jnp.zeros(u.shape[:3] + (1,), u.dtype)
     cols = lax.broadcasted_iota(jnp.int32, (1, 1, ty, nx), 3)
     lft, rgt = cols == 0, cols == nx - 1
-    left = jnp.where(lft, 0.0, jnp.concatenate([zc, u[..., :-1]], axis=3))
-    right = jnp.where(rgt, 0.0, jnp.concatenate([u[..., 1:], zc], axis=3))
+    # the concats already place the zero column at the x edges, so no
+    # where-select is needed on the shifted fields (r5: two fewer
+    # full-block VPU selects — the 256^3 kernels are VPU-bound per
+    # iteration, benchmarks/exp256b_r05.py); lft/rgt still feed the diag
+    left = jnp.concatenate([zc, u[..., :-1]], axis=3)
+    right = jnp.concatenate([u[..., 1:], zc], axis=3)
     above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
     below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
     zplane = jnp.zeros_like(u[:, :1])
@@ -183,8 +187,10 @@ def _stencil_3d_brick(u, up, dn, zup, zdn, z0, y0, tz, ty, nz, ny, nx,
     zc = jnp.zeros(u.shape[:3] + (1,), u.dtype)
     cols = lax.broadcasted_iota(jnp.int32, (1, 1, ty, nx), 3)
     lft, rgt = cols == 0, cols == nx - 1
-    left = jnp.where(lft, 0.0, jnp.concatenate([zc, u[..., :-1]], axis=3))
-    right = jnp.where(rgt, 0.0, jnp.concatenate([u[..., 1:], zc], axis=3))
+    # concats already zero the x edges — no where-select (see
+    # _stencil_3d_y; benchmarks/exp256b_r05.py)
+    left = jnp.concatenate([zc, u[..., :-1]], axis=3)
+    right = jnp.concatenate([u[..., 1:], zc], axis=3)
     above = jnp.concatenate([up, u[:, :, :-1, :]], axis=2)
     below = jnp.concatenate([u[:, :, 1:, :], dn], axis=2)
     z_above = jnp.concatenate([zup, u[:, :-1]], axis=1)
