@@ -249,6 +249,20 @@ def main():
     finally:
         l3._VMEM_BUDGET = old_budget
 
+    # fused ghost-copy kernel (ops/pallas/bc3d.py) vs the .at[].set chain
+    # — exact equality (pure copies)
+    from nlsolvers_tpu.ops import boundaries as bcs
+    from nlsolvers_tpu.ops.pallas.bc3d import neumann_bc_planar_3d
+    ub = jnp.asarray(rng.standard_normal((2, R3, s3[2])).astype(np.float32))
+    got_bc = np.asarray(jax.jit(
+        lambda x: neumann_bc_planar_3d(x, s3))(ub))
+    ref_bc = np.asarray(bcs.neumann_no_velocity_3d(
+        ub.reshape((2,) + s3)).reshape(2, R3, s3[2]))
+    rec = dict(family="bc3d", rel_l2=[rel_l2(got_bc, ref_bc)],
+               ok=bool(np.array_equal(got_bc, ref_bc)))
+    results.append(rec)
+    print(json.dumps(rec), flush=True)
+
     if args.shard:
         shard_parity(results)
 

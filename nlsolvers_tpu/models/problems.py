@@ -128,6 +128,17 @@ def _planar_ss2(kind, shape, dt, krylov_m, lap, m_field, sigma1, sigma2,
     def apply_neum(up):
         return neum(up.reshape((2,) + shape)).reshape(2, R, nx)
 
+    if bc == "noflux" and len(shape) == 3:
+        # fused ghost-copy kernel: the jnp .at[].set chain costs ~1.57 ms
+        # at 256^3 (~2.6 full-array copy passes) vs one streamed
+        # read+write (ops/pallas/bc3d.py; benchmarks/exp256f_r05.py)
+        from nlsolvers_tpu.ops.pallas.bc3d import (neumann_bc_planar_3d,
+                                                   pick_tp_bc)
+        if (shape[-1] % 128 == 0 and shape[1] % 8 == 0
+                and pick_tp_bc(*shape, 2) >= 2):
+            def apply_neum(up):
+                return neumann_bc_planar_3d(up, shape, interpret=interpret)
+
     if integrator == "ss2":
         def step(up, i):
             del i
@@ -373,6 +384,21 @@ def realwave_problem(kind, shape, Lx, dt, *, m_field=None, c_field=None,
         # sign-flipped descriptor so the fused Pallas Lanczos path applies
         omega2._pallas_desc = dict(base_desc, sign=-base_desc["sign"])
     neumann = _neumann(shape) if apply_bc else (lambda u: u)
+    if apply_bc and dim == 3 and rdtype == jnp.float32:
+        # fused ghost-copy kernel (see _planar_ss2; exp256f_r05.py): the
+        # .at[].set chain costs ~0.8 ms/step at 256^3 on the real path
+        from nlsolvers_tpu.config import pallas_dispatch
+        from nlsolvers_tpu.ops.pallas.bc3d import (neumann_bc_planar_3d,
+                                                   pick_tp_bc)
+        _use_bc, _interp_bc = pallas_dispatch()
+        if (_use_bc and shape[-1] % 128 == 0 and shape[1] % 8 == 0
+                and pick_tp_bc(*shape, 1) >= 2):
+            R_bc = shape[0] * shape[1]
+
+            def neumann(u):
+                return neumann_bc_planar_3d(
+                    u.reshape(1, R_bc, nx), shape,
+                    interpret=_interp_bc).reshape(shape)
     filter_func = "mod_cosine" if kind == "sine_gordon" else "id_sqrt"
 
     if integrator == "gautschi":

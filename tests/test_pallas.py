@@ -818,3 +818,83 @@ def test_brick_pass1_matches_yslab_and_xla(interp_mode):
             l3._VMEM_BUDGET = old
         np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-5,
                                    err_msg=variant)
+
+
+def test_bc3d_kernel_matches_setchain():
+    """Fused ghost-copy kernel (ops/pallas/bc3d.py) vs the jnp .at[].set
+    chain (boundaries_3d.hpp:8-31 semantics) — exact equality: both are
+    pure copies, corners included."""
+    from nlsolvers_tpu.ops import boundaries as bcs
+    from nlsolvers_tpu.ops.pallas.bc3d import (neumann_bc_planar_3d,
+                                               pick_tp_bc)
+
+    rng = np.random.default_rng(7)
+    for shape in ((16, 16, 128), (8, 24, 256)):
+        nz, ny, nx = shape
+        P, R = 2, nz * ny
+        up = jnp.asarray(rng.standard_normal((P, R, nx)).astype(np.float32))
+        assert pick_tp_bc(nz, ny, nx, P) >= 2
+        got = np.asarray(neumann_bc_planar_3d(up, shape, interpret=True))
+        ref = np.asarray(bcs.neumann_no_velocity_3d(
+            up.reshape((P,) + shape)).reshape(P, R, nx))
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_planar_step_uses_bc_kernel_same_result():
+    """The planar SS2 step with the fused BC kernel equals the complex
+    XLA path (which applies the .at[].set chain)."""
+    from nlsolvers_tpu.models import problems
+
+    rng = np.random.default_rng(8)
+    shape = (16, 16, 128)
+    u0 = (0.1 * (rng.standard_normal(shape)
+                 + 1j * rng.standard_normal(shape))).astype(np.complex64)
+    mf = np.ones(shape, np.float32)
+    config.pallas_mode = "interpret"
+    try:
+        prob = problems.nlse_problem("cubic", shape, 5.0, 1e-4, m_field=mf,
+                                     krylov_m=6, dtype=jnp.complex64)
+        assert prob.meta["planar_state"]
+        s = prob.init(u0)
+        for i in (1, 2):
+            s = prob.step(s, i)
+        got = np.asarray(jnp.stack([jnp.real(prob.observe(s)),
+                                    jnp.imag(prob.observe(s))]))
+        config.pallas_mode = "off"
+        prob_ref = problems.nlse_problem("cubic", shape, 5.0, 1e-4,
+                                         m_field=mf, krylov_m=6,
+                                         dtype=jnp.complex64)
+        r = prob_ref.init(u0)
+        for i in (1, 2):
+            r = prob_ref.step(r, i)
+        ref = np.asarray(jnp.stack([jnp.real(prob_ref.observe(r)),
+                                    jnp.imag(prob_ref.observe(r))]))
+    finally:
+        config.pallas_mode = "auto"
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_realwave_bc_kernel_matches_setchain_path():
+    """Real-wave 3D f32 step with the fused BC kernel equals the XLA
+    path (at.set chain BC)."""
+    from nlsolvers_tpu.models import problems
+
+    rng = np.random.default_rng(9)
+    shape = (16, 16, 128)
+    u0 = (0.1 * rng.standard_normal(shape)).astype(np.float32)
+    v0 = np.zeros(shape, np.float32)
+    outs = {}
+    for mode in ("interpret", "off"):
+        config.pallas_mode = mode
+        try:
+            prob = problems.realwave_problem(
+                "sine_gordon", shape, 5.0, 1e-4, krylov_m=6,
+                dtype=jnp.float32)
+            s = prob.init(jnp.asarray(u0), jnp.asarray(v0))
+            for i in range(2):
+                s = prob.step(s, i + 1)
+            outs[mode] = np.asarray(s[0])
+        finally:
+            config.pallas_mode = "auto"
+    np.testing.assert_allclose(outs["interpret"], outs["off"],
+                               rtol=2e-5, atol=2e-6)
