@@ -25,7 +25,8 @@ What remains between `nogather` and `unsharded` is intrinsic structure:
 the deferred-norm-CGS pass shape and the sharded iso pass1's streamed
 `diag` column (1 extra weight-column read per iteration, ~4% of step
 traffic at m=10 — the unsharded kernel builds the diagonal from iotas
-in-register).
+in-register). Both paths apply the fused bc3d ghost-copy kernel (round
+5), so the BC is not a differencing term.
 
 Usage: python benchmarks/exp_shard_r05.py [--n 128] [--chunk 100] [--reps 5]
 Prints one JSON line per variant plus a decomposition line.

@@ -991,6 +991,17 @@ def _pass2_call(j, P, ny, nx, tile, interpret):
     )
 
 
+# descriptor kinds routed through the fused combine kernel (_combine_call)
+# instead of the XLA MAC chain — all of them: measured 4.0 -> ~2.0 ms at
+# 256^3 m=10 (exp256b_r05.py), and at 1024^2 ss2 991 -> 1016 steps/s /
+# sewi 268 -> 295 interleaved on-chip (the XLA chain splits the wide
+# fusion and re-streams intermediates at every size tested).
+_COMBINE_KINDS = ("laplacian_2d", "aniso_laplacian_2d",
+                  "shard2d", "shard2d_aniso",
+                  "laplacian_3d", "aniso_laplacian_3d",
+                  "shard3d", "shard3d_aniso")
+
+
 def _combine_call(m, k, P, ny, nx, tile, interpret):
     """pallas_call for the final combine y_spec = sum_i q[spec, i] W_i
     (complex coefficients on planar columns, q[spec, i] already folded
@@ -1564,8 +1575,7 @@ def matfunc_apply_planar_multi(u, desc, specs, m, interpret=False,
     lam, Q = tridiag_eigh(alpha, beta)
     svec = [jnp.asarray(si, jnp.float32) for si in s]
 
-    if desc.get("kind") in ("laplacian_3d", "aniso_laplacian_3d",
-                            "shard3d", "shard3d_aniso") and m >= 2:
+    if desc.get("kind") in _COMBINE_KINDS and m >= 2:
         # fused combine kernel for the 3D paths (see _combine_call): the
         # XLA MAC chain over m wide columns re-streams intermediates at
         # 256^3-class sizes. Same accumulation order as the chain below.

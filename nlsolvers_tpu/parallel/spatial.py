@@ -439,6 +439,27 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
         use_planar = bool(use_pl and supported_desc(probe, lshape, dtype))
     Rl, nxl = int(np.prod(lshape[:-1])), lshape[-1]
 
+    # fused ghost-copy kernel on the sharded planar path (same kernel as
+    # the unsharded step, ops/pallas/bc3d.py — global-coordinate masks,
+    # shard-local sources; replaces the where-chain of sharded_neumann_3d
+    # which costs a full extra state pass per step)
+    use_bc_kernel = False
+    if use_planar and apply_bc and len(global_shape) == 3:
+        from nlsolvers_tpu.ops.pallas.bc3d import pick_tp_bc
+        use_bc_kernel = (lshape[-1] % 128 == 0 and lshape[1] % 8 == 0
+                         and min(lshape) >= 2
+                         and pick_tp_bc(*lshape, 2) >= 2)
+
+    def _neumann_planar(upr):
+        if use_bc_kernel:
+            from nlsolvers_tpu.ops.pallas.bc3d import neumann_bc_planar_3d
+            offs = [lax.axis_index(a) * l
+                    for a, l in zip(axis_names, lshape)]
+            return neumann_bc_planar_3d(
+                upr, lshape, global_shape=global_shape, offsets=offs,
+                interpret=pl_interp).reshape((2,) + lshape)
+        return neumann(upr.reshape((2,) + lshape))
+
     def local_single_planar(up, mloc, cloc=None):     # up (2,) + lshape
         from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
         desc = (_aniso_desc(global_shape, dx, axis_names, variant, cloc,
@@ -450,7 +471,7 @@ def make_sharded_nlse_step(kind, global_shape, Lx, dt, mesh,
         upr = nlse_mod.ss2_step_planar(up.reshape(2, Rl, nxl), desc, rho,
                                        dt, m=krylov_m, interpret=pl_interp,
                                        axis_names=axis_names)
-        return neumann(upr.reshape((2,) + lshape))
+        return _neumann_planar(upr)
 
     def local_single(u, mloc, cloc=None):
         if use_c:
@@ -676,6 +697,14 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
             local = jnp.sum(jnp.abs(u) ** 2, axis=spatial_axes) * dV
         return lax.psum(local, axis_names)
 
+    # same fused ghost-copy kernel as make_sharded_nlse_step (bc3d.py)
+    use_bc_kernel = False
+    if use_planar and apply_bc and len(global_shape) == 3:
+        from nlsolvers_tpu.ops.pallas.bc3d import pick_tp_bc
+        use_bc_kernel = (lshape[-1] % 128 == 0 and lshape[1] % 8 == 0
+                         and min(lshape) >= 2
+                         and pick_tp_bc(*lshape, 2) >= 2)
+
     def single_step_planar(state, i, mloc, cloc):
         from nlsolvers_tpu.models.nonlinearities import nlse_density_planar
         desc = (_aniso_desc(global_shape, dx, axis_names, variant, cloc,
@@ -686,6 +715,14 @@ def make_sharded_nlse_trajectory_fn(kind, global_shape, Lx, dt, mesh,
                                   sigma1=sigma1, sigma2=sigma2, kappa=kappa)
 
         def fix(upr):
+            if use_bc_kernel:
+                from nlsolvers_tpu.ops.pallas.bc3d import (
+                    neumann_bc_planar_3d)
+                offs = [lax.axis_index(a) * l
+                        for a, l in zip(axis_names, lshape)]
+                return neumann_bc_planar_3d(
+                    upr, lshape, global_shape=global_shape, offsets=offs,
+                    interpret=pl_interp).reshape((2,) + lshape)
             return neumann(upr.reshape((2,) + lshape))
 
         if integrator == "ss2":

@@ -898,3 +898,32 @@ def test_realwave_bc_kernel_matches_setchain_path():
             config.pallas_mode = "auto"
     np.testing.assert_allclose(outs["interpret"], outs["off"],
                                rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_bc_kernel_matches_wherechain():
+    """Sharded planar step with the fused BC kernel (global-coordinate
+    masks, bc3d.py) equals the XLA sharded path (where-chain BC) on a
+    2x2x2 mesh — boundary shards included."""
+    from jax.sharding import Mesh
+    from nlsolvers_tpu.parallel import spatial
+
+    rng = np.random.default_rng(12)
+    gshape = (32, 32, 256)            # locals (16, 16, 128) per shard
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("gz", "gy", "gx"))
+    u0 = 0.1 * rng.standard_normal((2,) + gshape).astype(np.float32)
+    mf = np.ones(gshape, np.float32)
+    kw = dict(axis_names=("gz", "gy", "gx"), krylov_m=6,
+              dtype=jnp.complex64, variant="clean")
+    config.pallas_mode = "interpret"
+    try:
+        step = spatial.make_sharded_nlse_step("cubic", gshape, 5.0, 1e-4,
+                                              mesh, **kw)
+        got = np.asarray(step(jnp.asarray(u0), jnp.asarray(mf)))
+        config.pallas_mode = "off"
+        step_ref = spatial.make_sharded_nlse_step("cubic", gshape, 5.0,
+                                                  1e-4, mesh, **kw)
+        ref = np.asarray(step_ref(jnp.asarray(u0), jnp.asarray(mf)))
+    finally:
+        config.pallas_mode = "auto"
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
