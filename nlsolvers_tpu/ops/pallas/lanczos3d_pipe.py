@@ -541,34 +541,52 @@ def lanczos_twopass3d_y(u, m, P, R, nx, scale, sign, variant, mode, geom,
     return W, s, alphas, betas, beta0
 
 
-def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
+def _shard_diag(gz, gy, gx, NZ, NY, NX, variant, dtype):
+    """Per-cell variant diagonal from GLOBAL coordinate iotas — the same
+    formula the caller used to build the streamed diag column; computed
+    in-register instead (round 5: the streamed column costs a full
+    weight-column read per iteration — 67 MB at 256^3-local shards)."""
+    if variant == "reference":
+        bnd = ((gz == 0) | (gz == NZ - 1) | (gy == 0) | (gy == NY - 1)
+               | (gx == 0) | (gx == NX - 1))
+        return jnp.where(bnd, -5.0, -6.0).astype(dtype)
+    nnb = (6.0 - (gz == 0) - (gz == NZ - 1) - (gy == 0)
+           - (gy == NY - 1) - (gx == 0) - (gx == NX - 1))
+    return (-nnb).astype(dtype)
+
+
+def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, NZ, NY, NX,
+                       variant, interpret):
     """Sharded y-slab pass1 (7-point iso Laplacian on a SHARDED 3D grid):
     w = (A/chat)·W_j fused with the shard-local projection dots (the
     caller psums them; deferred-norm CGS, scal = [1/chat, 0]).
 
-    All boundary/seam structure lives in jnp-side data, so the kernel has
-    NO masks: `diag` is the per-cell variant diagonal from global
-    coordinates, the y-halo slabs carry ppermute'd ay rows (or the
-    reference variant's seam rows) with zeros at true domain edges, `hc`
-    the ppermute'd x columns, and `zht`/`zhb` the ppermute'd z-neighbor
-    planes that replace the unsharded kernel's zero planes. Parity target:
+    All boundary/seam structure lives in jnp-side data or global-coord
+    iotas: the variant diagonal is generated in-kernel from the shard's
+    global offsets (SMEM triple — round 5; previously a streamed
+    (1, lnz, ty, nx) column, one extra weight-column read per iteration),
+    the y-halo slabs carry ppermute'd ay rows (or the reference variant's
+    seam rows) with zeros at true domain edges, `hc` the ppermute'd x
+    columns, and `zht`/`zhb` the ppermute'd z-neighbor planes that
+    replace the unsharded kernel's zero planes. Parity target:
     laplacians.hpp:105-156 via parallel/spatial.sharded_laplacian_3d.
 
-    Inputs: scal (1,2) SMEM [s_j, bs], W_j block (P, lnz, ty, nx), halo
-    slabs (P, lnz, nblk, 2, nx), hc x-columns (P, lnz, ty, 2), diag
-    (1, lnz, ty, nx), zht/zhb z-halo planes (P, 1, ty, nx slices of the
-    (P, 1, lny, nx) slabs), W_0..W_{j-1} blocks. Outputs: w, raw SMEM.
-    The caller passes scal = [1/chat, 0] (deferred-norm CGS, see
+    Inputs: scal (1,2) SMEM [s_j, bs], offs (1,3) SMEM int32 (z0, y0, x0),
+    W_j block (P, lnz, ty, nx), halo slabs (P, lnz, nblk, 2, nx), hc
+    x-columns (P, lnz, ty, 2), zht/zhb z-halo planes (P, 1, ty, nx slices
+    of the (P, 1, lny, nx) slabs), W_0..W_{j-1} blocks. Outputs: w, raw
+    SMEM. The caller passes scal = [1/chat, 0] (deferred-norm CGS, see
     lanczos_twopass3d_y_sharded).
     """
     nblk = lny // ty
     grid = (nblk,)
     blk = (P, lnz, ty, nx)
 
-    def kernel(scal, u_ref, h_ref, hc_ref, diag_ref, zht_ref, zhb_ref,
+    def kernel(scal, offs, u_ref, h_ref, hc_ref, zht_ref, zhb_ref,
                *rest):
         wrefs = rest[:j]
         w_out, raw_out = rest[j], rest[j + 1]
+        i = pl.program_id(0)
         u = u_ref[...]
         h = h_ref[...]
         up = h[:, :, 0, 0, :][:, :, None, :]
@@ -581,13 +599,20 @@ def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
         z_above = jnp.concatenate([zht_ref[...], u[:, :-1]], axis=1)
         z_below = jnp.concatenate([u[:, 1:], zhb_ref[...]], axis=1)
         nb = above + below + z_above + z_below + left + right
-        av = (nb + diag_ref[...] * u) * (scale * sign)
+        gz = (lax.broadcasted_iota(jnp.int32, (1, lnz, 1, 1), 1)
+              + offs[0, 0])
+        gy = (lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
+              + i * ty + offs[0, 1])
+        gx = (lax.broadcasted_iota(jnp.int32, (1, 1, 1, nx), 3)
+              + offs[0, 2])
+        diag = _shard_diag(gz, gy, gx, NZ, NY, NX, variant, u.dtype)
+        av = (nb + diag * u) * (scale * sign)
         w = scal[0, 0] * av
         if j > 0:
             w = w - scal[0, 1] * wrefs[j - 1][...]
         w_out[...] = w
 
-        @pl.when(pl.program_id(0) == 0)
+        @pl.when(i == 0)
         def _():
             for idx in range(j + 1):
                 raw_out[idx, 0] = 0.0
@@ -603,11 +628,11 @@ def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
     blkspec = pl.BlockSpec(blk, center, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         blkspec,
         pl.BlockSpec((P, lnz, 1, 2, nx), lambda i: (0, 0, i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((P, lnz, ty, 2), center, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, lnz, ty, nx), center, memory_space=pltpu.VMEM),
         pl.BlockSpec((P, 1, ty, nx), center, memory_space=pltpu.VMEM),
         pl.BlockSpec((P, 1, ty, nx), center, memory_space=pltpu.VMEM),
     ] + [blkspec for _ in range(j)]
@@ -622,7 +647,7 @@ def _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale, sign, interpret):
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((P, lnz, lny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
-        compiler_params=_compiler_params(j + 5, lnz * ty, nx, P),
+        compiler_params=_compiler_params(j + 4, lnz * ty, nx, P),
         interpret=interpret,
     )
 
@@ -733,26 +758,28 @@ def _pass1y_shard_aniso_call(j, P, lnz, lny, nx, ty, scale, sign,
     )
 
 
-def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
-                        interpret):
+def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign, NZ, NY,
+                        NX, variant, interpret):
     """Sharded BRICK pass1 (7-point iso Laplacian): the 256^3-local-shard
     geometry inside shard_map (round 5, VERDICT r4 next #2 — without it,
     512^3 on a 2x2x2 mesh collapsed to the row-tiled kernels).
 
-    Mask-free like `_pass1y_shard_call`: `diag` is the per-cell variant
-    diagonal from GLOBAL coordinates streamed per brick, the y-halo slabs
-    arrive gathered with the cross-shard ppermute edges spliced in by the
-    caller (zeros at true domain ends), `hc` carries the ppermute'd x
-    columns. The z-neighbor planes stream DIRECTLY from the local W_j
-    array via clamped index maps; only the two boundary bricks select the
-    ppermute'd az slabs `zht`/`zhb` instead (scalar per-program select —
-    no jnp-side z gather, same r5 optimization as `_pass1zy_call`).
-    2D (nzb, nyb) program grid.
+    Mask-free halos like `_pass1y_shard_call`: the variant diagonal is
+    generated in-kernel from the shard's global offsets (SMEM triple —
+    previously a streamed weight column, a 67 MB/iteration read at
+    256^3-local shards), the y-halo slabs arrive gathered with the
+    cross-shard ppermute edges spliced in by the caller (zeros at true
+    domain ends), `hc` carries the ppermute'd x columns. The z-neighbor
+    planes stream DIRECTLY from the local W_j array via clamped index
+    maps; only the two boundary bricks select the ppermute'd az slabs
+    `zht`/`zhb` instead (scalar per-program select — no jnp-side z
+    gather, same r5 optimization as `_pass1zy_call`). 2D (nzb, nyb)
+    program grid.
 
-    Inputs: scal (1,2) SMEM [1/chat, 0], W_j brick (P, tz, ty, nx), y-halo
-    slabs (P, lnz, nyb, 2, nx), zup/zdn clamped plane streams of W_j,
-    zht/zhb az-halo slabs (P, 1, lny, nx), hc (P, lnz, lny, 2), diag
-    (1, lnz, lny, nx), W_0..W_{j-1} bricks. Outputs: w, raw (j+1, 2) SMEM.
+    Inputs: scal (1,2) SMEM [1/chat, 0], offs (1,3) SMEM int32, W_j brick
+    (P, tz, ty, nx), y-halo slabs (P, lnz, nyb, 2, nx), zup/zdn clamped
+    plane streams of W_j, zht/zhb az-halo slabs (P, 1, lny, nx), hc
+    (P, lnz, lny, 2), W_0..W_{j-1} bricks. Outputs: w, raw (j+1, 2) SMEM.
     Parity: laplacians.hpp:105-156 via
     parallel/spatial.sharded_laplacian_3d.
     """
@@ -760,8 +787,8 @@ def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
     grid = (nzb, nyb)
     blk = (P, tz, ty, nx)
 
-    def kernel(scal, u_ref, h_ref, zup_ref, zdn_ref, zht_ref, zhb_ref,
-               hc_ref, diag_ref, *rest):
+    def kernel(scal, offs, u_ref, h_ref, zup_ref, zdn_ref, zht_ref,
+               zhb_ref, hc_ref, *rest):
         wrefs = rest[:j]
         w_out, raw_out = rest[j], rest[j + 1]
         iz, iy = pl.program_id(0), pl.program_id(1)
@@ -779,7 +806,14 @@ def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
         z_above = jnp.concatenate([zup, u[:, :-1]], axis=1)
         z_below = jnp.concatenate([u[:, 1:], zdn], axis=1)
         nb = above + below + z_above + z_below + left + right
-        av = (nb + diag_ref[...] * u) * (scale * sign)
+        gz = (lax.broadcasted_iota(jnp.int32, (1, tz, 1, 1), 1)
+              + iz * tz + offs[0, 0])
+        gy = (lax.broadcasted_iota(jnp.int32, (1, 1, ty, 1), 2)
+              + iy * ty + offs[0, 1])
+        gx = (lax.broadcasted_iota(jnp.int32, (1, 1, 1, nx), 3)
+              + offs[0, 2])
+        diag = _shard_diag(gz, gy, gx, NZ, NY, NX, variant, u.dtype)
+        av = (nb + diag * u) * (scale * sign)
         w = scal[0, 0] * av
         if j > 0:
             w = w - scal[0, 1] * wrefs[j - 1][...]
@@ -806,6 +840,8 @@ def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
     in_specs = [
         pl.BlockSpec((1, 2), lambda iz, iy: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 3), lambda iz, iy: (0, 0),
+                     memory_space=pltpu.SMEM),
         blkspec,
         pl.BlockSpec((P, tz, 1, 2, nx), lambda iz, iy: (0, iz, iy, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -814,7 +850,6 @@ def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
         pl.BlockSpec(zplane, zh_map, memory_space=pltpu.VMEM),
         pl.BlockSpec(zplane, zh_map, memory_space=pltpu.VMEM),
         pl.BlockSpec((P, tz, ty, 2), center, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tz, ty, nx), center, memory_space=pltpu.VMEM),
     ] + [blkspec for _ in range(j)]
     out_specs = [
         blkspec,
@@ -828,7 +863,7 @@ def _pass1zy_shard_call(j, P, lnz, lny, nx, tz, ty, scale, sign,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((P, lnz, lny, nx), jnp.float32),
                    jax.ShapeDtypeStruct((j + 1, 2), jnp.float32)],
-        compiler_params=_compiler_params(j + 5, tz * ty, nx, P),
+        compiler_params=_compiler_params(j + 4, tz * ty, nx, P),
         interpret=interpret,
     )
 
@@ -972,23 +1007,12 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
     as4 = lambda a: a.reshape(P, lnz, lny, nx)
 
     if aniso is None:
-        # per-cell variant diagonal from GLOBAL coordinates (unscaled)
-        shp = (lnz, lny, nx)
-        gz = (lax.axis_index(az) * lnz
-              + lax.broadcasted_iota(jnp.int32, shp, 0))
-        gy = (lax.axis_index(ay) * lny
-              + lax.broadcasted_iota(jnp.int32, shp, 1))
-        gx = (lax.axis_index(ax) * nx
-              + lax.broadcasted_iota(jnp.int32, shp, 2))
-        if variant == "reference":
-            bnd = ((gz == 0) | (gz == NZ - 1) | (gy == 0) | (gy == NY - 1)
-                   | (gx == 0) | (gx == NX - 1))
-            diag = jnp.where(bnd, -5.0, -6.0).astype(jnp.float32)
-        else:
-            nnb = (6.0 - (gz == 0) - (gz == NZ - 1) - (gy == 0)
-                   - (gy == NY - 1) - (gx == 0) - (gx == NX - 1))
-            diag = (-nnb).astype(jnp.float32)
-        diag = diag[None]                              # (1, lnz, lny, nx)
+        # shard's global offsets for the in-kernel variant diagonal
+        # (round 5: replaces the streamed per-cell diag column)
+        offs = jnp.stack([
+            (lax.axis_index(az) * lnz).astype(jnp.int32),
+            (lax.axis_index(ay) * lny).astype(jnp.int32),
+            (lax.axis_index(ax) * nx).astype(jnp.int32)]).reshape(1, 3)
     else:
         wxp, wyp, wy_top, wxl, wzp, wzh, plane_splice = aniso
         wx4 = wxp.reshape(1, lnz, lny, nx)
@@ -1053,8 +1077,8 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
         ghat = lax.pmax(4.0 * (jnp.max(wx4) + jnp.max(wy4)
                                + jnp.max(wz4)), axis_names)
         chat = (ghat * abs(scale)).astype(jnp.float32)
-    nop = 3 if aniso is None else 6      # hc/z-slabs + diag | + wx/wy/wz
-    nop_brick = 1 if aniso is None else 6
+    nop = 2 if aniso is None else 6      # hc + z-slabs | + wx/wy/wz
+    nop_brick = 0 if aniso is None else 6
 
     def p1(j, scal, W):
         ty = pick_ty3d(lnz, lny, nx, j, P, nop)
@@ -1070,8 +1094,9 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
             w4 = as4(W[j])
             if aniso is None:
                 w, raw = _pass1zy_shard_call(j, P, lnz, lny, nx, tz, tyb,
-                                             scale, sign, interpret)(
-                    scal, w4, h, w4, w4, zht, zhb, hc4, diag,
+                                             scale, sign, NZ, NY, NX,
+                                             variant, interpret)(
+                    scal, offs, w4, h, w4, w4, zht, zhb, hc4,
                     *(as4(a) for a in W[:j]))
             else:
                 if ("y", tyb) not in wyh_cache:
@@ -1085,8 +1110,9 @@ def lanczos_twopass3d_y_sharded(u, m, P, R, nx, scale, sign, variant,
         h, hc, zht, zhb = shard_halos(W[j], ty)
         if aniso is None:
             w, raw = _pass1y_shard_call(j, P, lnz, lny, nx, ty, scale,
-                                        sign, interpret)(
-                scal, as4(W[j]), h, hc, diag, zht, zhb,
+                                        sign, NZ, NY, NX, variant,
+                                        interpret)(
+                scal, offs, as4(W[j]), h, hc, zht, zhb,
                 *(as4(a) for a in W[:j]))
         else:
             if ty not in wyh_cache:
